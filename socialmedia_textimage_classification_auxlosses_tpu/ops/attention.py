@@ -1,0 +1,216 @@
+"""Fused scaled-dot-product attention (Pallas TPU kernel + reference path).
+
+This is the hot op of every model in the framework: encoder self-attention
+(text 128 tokens, image 197 tokens), the late-fusion text->image
+cross-attention head (reference ``mm_late.py:98-113,195-210``), and LXMERT's
+cross-modal attention over ROI features (reference ``mm_early.py:121-129``).
+
+Design (see /opt/skills/guides/pallas_guide.md): at these sequence lengths a
+whole (Lq, D) x (Lk, D) attention problem fits comfortably in VMEM, so the
+kernel runs one grid step per (batch x head), keeps Q/K/V/S entirely on-chip,
+and never materialises the (B, H, Lq, Lk) score tensor in HBM — the win over
+the unfused XLA path is HBM traffic, not FLOPs. The backward pass is a second
+fully-fused kernel (recompute-in-VMEM flash style) wired up via
+``jax.custom_vjp``.
+
+The ``sdpa`` entry point dispatches: Pallas on TPU backends, a pure-jnp
+reference path elsewhere (CPU tests, interpret-mode parity checks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Reference (jnp) path — also the numerics oracle for the kernel tests.
+# ---------------------------------------------------------------------------
+
+
+def sdpa_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """softmax(q k^T * scale + mask) v.
+
+    q: (B, H, Lq, D); k, v: (B, H, Lk, D); key_mask: (B, Lk) 1=keep 0=pad.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = scores.astype(jnp.float32)
+    if key_mask is not None:
+        bias = jnp.where(key_mask[:, None, None, :] > 0, 0.0, _NEG_INF)
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *, scale):
+    """One (batch*head) attention problem, fully in VMEM.
+
+    Emits both the output and the probability matrix; the probabilities stay
+    on-chip for the same-program output matmul and are also written out for
+    the backward kernel (cheap at these shapes: Lq x Lk <= 224x224).
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    mask = mask_ref[0]  # (1, Lk) int32
+    s = jnp.where(mask > 0, s, _NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+    p_ref[0] = p.astype(p_ref.dtype)
+
+
+def _bwd_kernel(p_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    """Backward for one (batch*head): dV = P^T dO; dS = P ∘ (dO V^T - rowsum);
+    dQ = dS K scale; dK = dS^T Q scale. All operands stay in VMEM."""
+    p = p_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bh_spec(l, d):
+    return pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _pallas_fwd(q, k, v, key_mask, scale, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    maskf = jnp.repeat(key_mask.astype(jnp.int32)[:, None, :], h, axis=1).reshape(
+        b * h, 1, lk
+    )
+    out, probs = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[
+            _bh_spec(lq, d),
+            _bh_spec(lk, d),
+            _bh_spec(lk, d),
+            pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(_bh_spec(lq, d), _bh_spec(lq, lk)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq, lk), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+    return out.reshape(b, h, lq, d), probs
+
+
+def _pallas_bwd(probs, q, k, v, do, scale, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[
+            _bh_spec(lq, lk),
+            _bh_spec(lq, d),
+            _bh_spec(lk, d),
+            _bh_spec(lk, d),
+            _bh_spec(lq, d),
+        ],
+        out_specs=(_bh_spec(lq, d), _bh_spec(lk, d), _bh_spec(lk, d)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(
+        probs,
+        q.reshape(b * h, lq, d),
+        k.reshape(b * h, lk, d),
+        v.reshape(b * h, lk, d),
+        do.reshape(b * h, lq, d),
+    )
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sdpa_pallas(q, k, v, key_mask, scale, interpret):
+    out, _ = _pallas_fwd(q, k, v, key_mask, scale, interpret)
+    return out
+
+
+def _sdpa_pallas_fwd(q, k, v, key_mask, scale, interpret):
+    out, probs = _pallas_fwd(q, k, v, key_mask, scale, interpret)
+    return out, (probs, q, k, v)
+
+
+def _sdpa_pallas_bwd(scale, interpret, res, do):
+    probs, q, k, v = res
+    dq, dk, dv = _pallas_bwd(probs, q, k, v, do, scale, interpret)
+    return dq, dk, dv, None
+
+
+_sdpa_pallas.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Fused SDPA. ``impl``: "auto" | "pallas" | "pallas_interpret" | "jnp"."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "jnp":
+        return sdpa_reference(q, k, v, key_mask, scale)
+    if key_mask is None:
+        key_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
+    return _sdpa_pallas(q, k, v, key_mask, scale, impl == "pallas_interpret")
