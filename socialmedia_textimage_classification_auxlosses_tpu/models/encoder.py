@@ -1,0 +1,275 @@
+"""Shared transformer encoder core.
+
+One stack covers every tower in the framework: BERT/BERTweet (post-LN,
+learned absolute positions, token types), RoBERTa/Bernice (post-LN, padded
+position offset), ViT/DEiT (pre-LN over patches), ViLT (pre-LN over the
+joint text+patch sequence) and the LXMERT language/vision/cross blocks.
+
+TPU notes:
+  * attention runs through ``ops.attention.sdpa`` — the fused Pallas kernel
+    on TPU, a jnp reference path elsewhere;
+  * activations are computed in ``cfg.dtype`` (bfloat16 on TPU) with float32
+    parameters and float32 layer-norm statistics;
+  * the layer loop optionally rematerialises (``cfg.remat``) to trade HBM for
+    FLOPs at larger batch sizes.
+
+Parameter naming follows a flat query/key/value/out + mlp_in/mlp_out scheme;
+``models/hf_import.py`` maps Hugging Face checkpoints onto it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    dropout: float = 0.1
+    ln_eps: float = 1e-12
+    # position-id construction: RoBERTa-family offsets past pad_token_id.
+    pos_offset: int = 0
+    pad_token_id: int = 0
+    hidden_act: str = "gelu"  # exact (erf) gelu, matching BERT/ViT
+    ln_style: str = "post"  # "post" (BERT) or "pre" (ViT)
+    dtype: str = "float32"
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    def activation(self, x):
+        if self.hidden_act == "gelu":
+            return jax.nn.gelu(x, approximate=False)
+        if self.hidden_act == "gelu_new":
+            return jax.nn.gelu(x, approximate=True)
+        if self.hidden_act == "relu":
+            return jax.nn.relu(x)
+        raise ValueError(self.hidden_act)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over separate query/key-value streams.
+
+    Covers self-attention (q_input is kv_input) and cross-attention
+    (LXMERT cross-modal; fusion head) with a key-padding mask.
+    """
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, q_input, kv_input, key_mask=None, deterministic=True):
+        cfg = self.cfg
+        dense = lambda name: nn.Dense(cfg.hidden, dtype=cfg.jdtype, name=name)
+        b, lq, _ = q_input.shape
+        lk = kv_input.shape[1]
+
+        def split(x):
+            return x.reshape(b, -1, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        q = split(dense("query")(q_input))
+        k = split(dense("key")(kv_input))
+        v = split(dense("value")(kv_input))
+        ctx = sdpa(q, k, v, key_mask=key_mask, impl=cfg.attn_impl)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, cfg.hidden)
+        out = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="out")(ctx)
+        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+
+class Mlp(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.cfg
+        h = nn.Dense(cfg.mlp_dim, dtype=cfg.jdtype, name="mlp_in")(x)
+        h = cfg.activation(h)
+        h = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="mlp_out")(h)
+        return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name=name)
+        attn = Attention(cfg, name="attention")
+        mlp = Mlp(cfg, name="mlp")
+        if cfg.ln_style == "post":  # BERT family
+            x = ln("ln_attn")(x + attn(x, x, key_mask, deterministic))
+            x = ln("ln_mlp")(x + mlp(x, deterministic))
+        else:  # pre-LN, ViT family
+            h = ln("ln_attn")(x)
+            x = x + attn(h, h, key_mask, deterministic)
+            x = x + mlp(ln("ln_mlp")(x), deterministic)
+        return x
+
+
+class TransformerStack(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True):
+        layer_cls = EncoderLayer
+        if self.cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        for i in range(self.cfg.layers):
+            x = layer_cls(self.cfg, name=f"layer_{i}")(x, key_mask, deterministic)
+        return x
+
+
+class Pooler(nn.Module):
+    """CLS dense+tanh pooler (BERT/ViT/DEiT convention)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        cls = hidden[:, 0, :]
+        return jnp.tanh(nn.Dense(self.cfg.hidden, dtype=self.cfg.jdtype, name="dense")(cls))
+
+
+class TextEmbeddings(nn.Module):
+    """Word + position + (optional) token-type embeddings, LN, dropout."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, ids, token_type_ids=None, attention_mask=None, deterministic=True):
+        cfg = self.cfg
+        emb = nn.Embed(cfg.vocab_size, cfg.hidden, dtype=cfg.jdtype, name="word")(ids)
+        if cfg.pos_offset:
+            # RoBERTa-family: positions count non-pad tokens, offset past pad id.
+            mask = (ids != cfg.pad_token_id).astype(jnp.int32)
+            pos_ids = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
+        else:
+            pos_ids = jnp.arange(ids.shape[1])[None, :]
+        emb = emb + nn.Embed(
+            cfg.max_positions, cfg.hidden, dtype=cfg.jdtype, name="position"
+        )(pos_ids)
+        if cfg.type_vocab:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(ids)
+            emb = emb + nn.Embed(
+                cfg.type_vocab, cfg.hidden, dtype=cfg.jdtype, name="token_type"
+            )(token_type_ids)
+        emb = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="ln")(emb)
+        return nn.Dropout(cfg.dropout)(emb, deterministic=deterministic)
+
+
+class BertEncoder(nn.Module):
+    """BERT/RoBERTa/Bernice tower: embeddings -> post-LN stack -> pooler.
+
+    Returns (last_hidden, pooled). Covers the reference's three text towers
+    (reference text_only.py:27-66) and the dual encoder's text side.
+    """
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, ids, attention_mask=None, token_type_ids=None, deterministic=True):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(ids)
+        x = TextEmbeddings(cfg, name="embeddings")(
+            ids, token_type_ids, attention_mask, deterministic
+        )
+        x = TransformerStack(cfg, name="encoder")(x, attention_mask, deterministic)
+        pooled = Pooler(cfg, name="pooler")(x)
+        return x, pooled
+
+
+class PatchEmbeddings(nn.Module):
+    """Image -> patch tokens (+CLS, +optional distill token) + pos embeddings."""
+
+    cfg: EncoderConfig
+    patch: int = 16
+    image_size: int = 224
+    channels: int = 3
+    num_prefix_tokens: int = 1  # 2 for DEiT (cls + distillation)
+
+    @nn.compact
+    def __call__(self, pixel_values, deterministic=True):
+        cfg = self.cfg
+        b = pixel_values.shape[0]
+        # NCHW input (reference/HF convention) -> NHWC for the conv.
+        if pixel_values.shape[1] == self.channels:
+            pixel_values = pixel_values.transpose(0, 2, 3, 1)
+        x = nn.Conv(
+            cfg.hidden,
+            kernel_size=(self.patch, self.patch),
+            strides=(self.patch, self.patch),
+            dtype=cfg.jdtype,
+            name="proj",
+        )(pixel_values.astype(cfg.jdtype))
+        x = x.reshape(b, -1, cfg.hidden)
+        prefix = self.param(
+            "prefix_tokens",
+            nn.initializers.zeros,
+            (1, self.num_prefix_tokens, cfg.hidden),
+        )
+        x = jnp.concatenate([jnp.tile(prefix, (b, 1, 1)).astype(cfg.jdtype), x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, x.shape[1], cfg.hidden),
+        )
+        x = x + pos.astype(cfg.jdtype)
+        return nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+
+class ViTEncoder(nn.Module):
+    """ViT/DEiT tower: patches -> pre-LN stack -> final LN -> CLS pooler.
+
+    ``pooling``: "tanh" (ViT/DEiT pooler), "mean" (BEiT: layer-normed mean of
+    patch tokens), or "none".
+    """
+
+    cfg: EncoderConfig
+    patch: int = 16
+    image_size: int = 224
+    num_prefix_tokens: int = 1
+    pooling: str = "tanh"
+
+    @nn.compact
+    def __call__(self, pixel_values, deterministic=True):
+        cfg = self.cfg
+        x = PatchEmbeddings(
+            cfg,
+            patch=self.patch,
+            image_size=self.image_size,
+            num_prefix_tokens=self.num_prefix_tokens,
+            name="embeddings",
+        )(pixel_values, deterministic)
+        x = TransformerStack(cfg, name="encoder")(x, None, deterministic)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="ln_final")(x)
+        if self.pooling == "tanh":
+            pooled = Pooler(cfg, name="pooler")(x)
+        elif self.pooling == "mean":
+            pooled = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="pool_ln")(
+                jnp.mean(x[:, self.num_prefix_tokens:, :], axis=1)
+            )
+        else:
+            pooled = x[:, 0, :]
+        return x, pooled

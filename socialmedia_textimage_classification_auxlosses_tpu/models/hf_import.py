@@ -1,0 +1,212 @@
+"""Hugging Face checkpoint ingestion (SURVEY.md section 7 "HF weight
+ingestion").
+
+The reference loads pretrained towers with ``AutoModel.from_pretrained``
+from local directories (reference ``config.py:139-152``,
+``text_only.py:30``). Here the same directories feed weight *import*: a
+torch ``pytorch_model.bin`` / ``model.safetensors`` state dict is mapped
+tensor-by-tensor onto our flax parameter tree (dense kernels transposed,
+conv kernels OIHW->HWIO). When no checkpoint exists the towers run with
+random init, so every path works offline.
+
+Import is also the parity harness: tests build a *random* HF torch model
+from a config, import its weights, and assert logit equality between the
+torch forward and our jitted forward.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def load_state_dict(model_dir: str) -> Optional[Dict[str, np.ndarray]]:
+    """Read a torch/safetensors checkpoint from ``model_dir`` into numpy."""
+    if not model_dir or not os.path.isdir(model_dir):
+        return None
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.isfile(st_path):
+        try:
+            from safetensors.numpy import load_file
+
+            return dict(load_file(st_path))
+        except ImportError:
+            pass
+    for name in ("pytorch_model.bin", "pytorch_model.pt"):
+        path = os.path.join(model_dir, name)
+        if os.path.isfile(path):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            return {k: v.numpy() for k, v in sd.items()}
+    flax_path = os.path.join(model_dir, "flax_model.msgpack")
+    if os.path.isfile(flax_path):
+        from flax import serialization
+
+        with open(flax_path, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        return _flatten("", tree)
+    return None
+
+
+def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(key, v))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def strip_prefix(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove a single leading model-name scope (``bert.``, ``roberta.``,
+    ``vit.``, ...) if every key shares it."""
+    for prefix in ("bert.", "roberta.", "xlm-roberta.", "vit.", "beit.", "deit.",
+                   "vilt.", "lxmert.", "model."):
+        if all(k.startswith(prefix) or k.startswith("pooler") or k.startswith("cls")
+               for k in state):
+            return {k[len(prefix):] if k.startswith(prefix) else k: v
+                    for k, v in state.items()}
+    return state
+
+
+def _dense(state, key):
+    return {"kernel": state[f"{key}.weight"].T.copy(), "bias": state[f"{key}.bias"].copy()}
+
+
+def _dense_nobias(state, key):
+    return {"kernel": state[f"{key}.weight"].T.copy()}
+
+
+def _ln(state, key):
+    return {"scale": state[f"{key}.weight"].copy(), "bias": state[f"{key}.bias"].copy()}
+
+
+def _emb(state, key):
+    return {"embedding": state[f"{key}.weight"].copy()}
+
+
+def import_bert_tower(state: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """HF BertModel/RobertaModel/XLM-R state dict -> our BertEncoder tree."""
+    state = strip_prefix(state)
+    tree: dict = {
+        "embeddings": {
+            "word": _emb(state, "embeddings.word_embeddings"),
+            "position": _emb(state, "embeddings.position_embeddings"),
+            "ln": _ln(state, "embeddings.LayerNorm"),
+        },
+        "encoder": {},
+        "pooler": {"dense": _dense(state, "pooler.dense")},
+    }
+    if "embeddings.token_type_embeddings.weight" in state:
+        tree["embeddings"]["token_type"] = _emb(state, "embeddings.token_type_embeddings")
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        tree["encoder"][f"layer_{i}"] = {
+            "attention": {
+                "query": _dense(state, f"{p}.attention.self.query"),
+                "key": _dense(state, f"{p}.attention.self.key"),
+                "value": _dense(state, f"{p}.attention.self.value"),
+                "out": _dense(state, f"{p}.attention.output.dense"),
+            },
+            "ln_attn": _ln(state, f"{p}.attention.output.LayerNorm"),
+            "mlp": {
+                "mlp_in": _dense(state, f"{p}.intermediate.dense"),
+                "mlp_out": _dense(state, f"{p}.output.dense"),
+            },
+            "ln_mlp": _ln(state, f"{p}.output.LayerNorm"),
+        }
+    return tree
+
+
+def import_vit_tower(state: Dict[str, np.ndarray], num_layers: int,
+                     distilled: bool = False, pooling: str = "tanh") -> dict:
+    """HF ViTModel/DeiTModel state dict -> our ViTEncoder tree."""
+    state = strip_prefix(state)
+    prefix_parts = [state["embeddings.cls_token"]]
+    if distilled and "embeddings.distillation_token" in state:
+        prefix_parts.append(state["embeddings.distillation_token"])
+    prefix_tokens = np.concatenate(prefix_parts, axis=1)
+    proj_w = state["embeddings.patch_embeddings.projection.weight"]
+    tree: dict = {
+        "embeddings": {
+            "prefix_tokens": prefix_tokens,
+            "pos_embed": state["embeddings.position_embeddings"].copy(),
+            "proj": {
+                "kernel": np.transpose(proj_w, (2, 3, 1, 0)).copy(),  # OIHW->HWIO
+                "bias": state["embeddings.patch_embeddings.projection.bias"].copy(),
+            },
+        },
+        "encoder": {},
+        "ln_final": _ln(state, "layernorm"),
+    }
+    if pooling == "tanh" and "pooler.dense.weight" in state:
+        tree["pooler"] = {"dense": _dense(state, "pooler.dense")}
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        tree["encoder"][f"layer_{i}"] = {
+            "attention": {
+                "query": _dense(state, f"{p}.attention.attention.query"),
+                "key": _dense(state, f"{p}.attention.attention.key"),
+                "value": _dense(state, f"{p}.attention.attention.value"),
+                "out": _dense(state, f"{p}.attention.output.dense"),
+            },
+            "ln_attn": _ln(state, f"{p}.layernorm_before"),
+            "mlp": {
+                "mlp_in": _dense(state, f"{p}.intermediate.dense"),
+                "mlp_out": _dense(state, f"{p}.output.dense"),
+            },
+            "ln_mlp": _ln(state, f"{p}.layernorm_after"),
+        }
+    return tree
+
+
+def merge_tower(params: dict, tower_tree: dict, path=("tower",)) -> dict:
+    """Graft an imported tower subtree into an initialised param tree,
+    checking shapes leaf-by-leaf."""
+    import jax
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    node = params
+    for p in path[:-1]:
+        node = node[p]
+    target = node[path[-1]]
+
+    def _merge(dst, src, scope):
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"unknown param {scope}/{k}")
+            if isinstance(v, dict):
+                _merge(dst[k], v, f"{scope}/{k}")
+            else:
+                if tuple(dst[k].shape) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"shape mismatch at {scope}/{k}: "
+                        f"{dst[k].shape} vs {np.shape(v)}"
+                    )
+                dst[k] = np.asarray(v, dtype=np.float32)
+
+    _merge(target, tower_tree, "/".join(path))
+    return params
+
+
+def maybe_import_text_tower(params: dict, model_dir: str, num_layers: int,
+                            path=("tower",)) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(params, import_bert_tower(state, num_layers), path)
+
+
+def maybe_import_vision_tower(params: dict, model_dir: str, num_layers: int,
+                              distilled=False, pooling="tanh", path=("tower",)) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(
+        params, import_vit_tower(state, num_layers, distilled, pooling), path
+    )
