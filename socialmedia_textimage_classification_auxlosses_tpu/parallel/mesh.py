@@ -1,0 +1,94 @@
+"""Device mesh & sharding rules (SURVEY.md section 5 "distributed
+communication backend" — a first-class component here; the reference is
+single-process/single-device, ``mm_late.py:30``).
+
+Axes:
+  * ``data``  — batch sharding over ICI; gradients are reduced by XLA's
+    ``psum`` inserted at the sharded-batch loss; the ITC similarity matrix
+    contracts globally (all-gather of the projected embeddings).
+  * ``model`` — optional tensor parallelism for the 768-wide towers: dense
+    kernels split column-wise (qkv, mlp_in) / row-wise (out, mlp_out), the
+    classic Megatron pairing, so each transformer block needs one
+    all-reduce per sublayer and the activations stay sharded on heads.
+
+At BERT-base scale TP is off by default (``model=1``); the rules keep every
+param annotated so the same jit scales to a larger mesh without code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class MeshPlan:
+    mesh: Mesh
+
+    @property
+    def data_axis_size(self) -> int:
+        return self.mesh.shape["data"]
+
+    def batch_spec(self) -> P:
+        return P("data")
+
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("data"))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    # -- parameter layout ---------------------------------------------------
+
+    def param_spec(self, path) -> P:
+        """Megatron-style TP layout keyed on our canonical param names."""
+        if self.mesh.shape["model"] == 1:
+            return P()
+        keys = [str(getattr(p, "key", p)) for p in path]
+        name = "/".join(keys)
+        leafname = keys[-1]
+        parent = keys[-2] if len(keys) > 1 else ""
+        if leafname == "kernel":
+            if parent in ("query", "key", "value", "mlp_in", "fc_q", "fc_k", "fc_v",
+                          "gmu_t", "gmu_v"):
+                return P(None, "model")  # column parallel
+            if parent in ("out", "mlp_out"):
+                return P("model", None)  # row parallel
+        if leafname == "bias" and parent in ("query", "key", "value", "mlp_in",
+                                             "fc_q", "fc_k", "fc_v", "gmu_t", "gmu_v"):
+            return P("model")
+        if leafname == "embedding" and parent == "word":
+            return P("model", None)  # vocab-sharded embedding
+        return P()
+
+    def params_sharding(self, params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: NamedSharding(self.mesh, self.param_spec(path)), params
+        )
+
+    def shard_params(self, params):
+        return jax.device_put(params, self.params_sharding(params))
+
+    def shard_batch(self, batch):
+        return jax.device_put(batch, self.batch_sharding())
+
+
+def make_mesh_plan(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> MeshPlan:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return MeshPlan(Mesh(dev_array, ("data", "model")))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

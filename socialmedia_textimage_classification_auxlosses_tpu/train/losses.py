@@ -99,17 +99,26 @@ def bce_with_logits(
 
 def contrastive_loss(logits: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """CE(logits, arange(N)) — one direction of the CLIP objective
-    (reference utils.py:225-226)."""
+    (reference utils.py:225-226). With ``mask`` (padded batch), padded rows
+    drop out of the mean and padded columns are excluded as negatives."""
     n = logits.shape[0]
+    logits = logits.astype(jnp.float32)
+    if mask is not None:
+        col_bias = jnp.where(mask > 0, 0.0, _NEG_BIAS)
+        logits = logits + col_bias[None, :]
     labels = jnp.arange(n)
-    return int_ce(logits.astype(jnp.float32), labels, mask=mask)
+    return int_ce(logits, labels, mask=mask)
+
+
+_NEG_BIAS = -1e9
 
 
 def clip_loss(similarity: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """Symmetric image-text contrastive loss (reference utils.py:228-231).
 
     ``similarity`` is logits_per_text: rows = texts, cols = images. With a
-    padded batch, ``mask`` zeroes the padded rows/cols' contribution.
+    padded batch, ``mask`` removes the padded rows/cols entirely, matching
+    the reference's unpadded small final batch.
     """
     caption_loss = contrastive_loss(similarity, mask=mask)
     image_loss = contrastive_loss(similarity.T, mask=mask)

@@ -1,0 +1,62 @@
+"""Optimizer setup (reference ``utils.py:280-292`` + the frozen-vision filter
+at ``mm_late.py:67-69``).
+
+The reference builds one AdamW param group from ``requires_grad`` params
+(lr + weight_decay on everything trainable, including biases/LN — torch
+AdamW semantics). Here that is ``optax.adamw`` with a trainability mask:
+frozen subtrees (the dual encoder's vision tower) get ``set_to_zero``, so
+their params never move and their optimizer state is empty — the optax
+equivalent of excluding them from the param group.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import optax
+
+
+def _path_contains(path, token: str) -> bool:
+    return any(token in str(getattr(p, "key", p)) for p in path)
+
+
+def vision_frozen_predicate(path, _) -> bool:
+    """Freeze every param under a ``vision`` scope (reference
+    mm_late.py:67-69 freezes dual-encoder params whose name contains
+    'vision')."""
+    return _path_contains(path, "vision")
+
+
+def make_optimizer(
+    lr: float,
+    weight_decay: float,
+    frozen_predicate: Optional[Callable] = None,
+    grad_clip: Optional[float] = None,
+) -> optax.GradientTransformation:
+    adamw = optax.adamw(learning_rate=lr, weight_decay=weight_decay,
+                        b1=0.9, b2=0.999, eps=1e-8)
+    if grad_clip:
+        adamw = optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
+    if frozen_predicate is None:
+        return adamw
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: "frozen" if frozen_predicate(path, x) else "train", params
+        )
+
+    return optax.multi_transform(
+        {"train": adamw, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def count_params(params, trainable_only=False,
+                 frozen_predicate: Optional[Callable] = None) -> int:
+    """Total parameter count (the reference prints it, mm_late.py:423)."""
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if trainable_only and frozen_predicate and frozen_predicate(path, leaf):
+            continue
+        total += leaf.size
+    return total

@@ -1,0 +1,181 @@
+"""Compiled train / eval steps (SURVEY.md section 7: "the whole train step
+(2 encoder passes + fusion + 3 losses + AdamW update) compiles into one
+jitted/pjit function").
+
+One generic step factory serves every model family: a ``forward_fn`` closure
+produces the model's output dict (``out_cls`` and, for multimodal models,
+``logits_per_text`` / ``out_tim`` / ``out_iadds``), and the loss assembly
+reproduces the reference's objective selection (reference
+``mm_late.py:473-487``, ``run_mm_late.py:85``):
+
+    multilabel -> BCE(pos_weight)         else weighted CE over one-hot floats
+    + beta_itc * ITC  + beta_itm * ITM    (down-weighting the CE term)
+    | beta_iadds * iadds CE               (legacy, exclusive with the above)
+    | loss-correction                     (legacy binary path)
+
+Batches are fixed-shape with a ``valid`` row mask (XLA static shapes; the
+padded tail of the last batch contributes nothing). ITM swapping happens
+*inside* the step as a pure function of the step RNG. Under a mesh, params
+arrive sharded, batches arrive data-sharded, and XLA inserts the psum /
+all-gather collectives (gradient reduction, global-batch ITC) over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import losses as L
+from .itm import itm_swap
+from .metrics import confusion_matrix_update, multilabel_counts_update
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    num_labels: int
+    multilabel: bool = False
+    use_clip_loss: bool = False
+    use_tim_loss: bool = False
+    use_iadds_loss: bool = False
+    use_loss_correction: bool = False
+    beta_itc: Optional[float] = None
+    beta_itm: Optional[float] = None
+    beta_iadds: Optional[float] = None
+    T: Tuple[Tuple[float, float], ...] = ((0.9, 0.1), (0.1, 0.9))
+
+
+def _cls_loss(cfg: LossConfig, out_cls, labels, class_weights, valid):
+    if cfg.multilabel:
+        return L.bce_with_logits(out_cls, labels, pos_weight=class_weights, mask=valid)
+    if cfg.use_loss_correction:
+        return L.loss_correction(cfg.T, out_cls, labels, class_weights, mask=valid)
+    return L.weighted_ce(out_cls, labels, class_weights, mask=valid)
+
+
+def assemble_loss(cfg: LossConfig, outputs: Dict, batch: Dict, tim_labels,
+                  class_weights):
+    valid = batch.get("valid")
+    cls_loss = _cls_loss(cfg, outputs["out_cls"], batch["labels"], class_weights, valid)
+    parts = {"cls_loss": cls_loss}
+    itc = itm = None
+    if cfg.use_clip_loss:
+        itc = L.clip_loss(outputs["logits_per_text"], mask=valid)
+        parts["itc_loss"] = itc
+    if cfg.use_tim_loss:
+        itm = L.int_ce(outputs["out_tim"], tim_labels, mask=valid)
+        parts["itm_loss"] = itm
+    if cfg.use_iadds_loss and not (cfg.use_clip_loss or cfg.use_tim_loss):
+        iadds = L.int_ce(outputs["out_iadds"], batch["image_adds"], mask=valid)
+        parts["iadds_loss"] = iadds
+        total = (1.0 - cfg.beta_iadds) * cls_loss + cfg.beta_iadds * iadds
+    else:
+        total = L.combined_loss(cls_loss, itc, itm, cfg.beta_itc, cfg.beta_itm)
+    parts["loss"] = total
+    return total, parts
+
+
+def _predictions(cfg: LossConfig, out_cls, labels):
+    if cfg.multilabel:
+        preds = jnp.round(jax.nn.sigmoid(out_cls)).astype(jnp.int32)
+        targets = labels.astype(jnp.int32)
+    else:
+        preds = jnp.argmax(out_cls, axis=-1).astype(jnp.int32)
+        targets = jnp.argmax(labels, axis=-1).astype(jnp.int32)
+    return preds, targets
+
+
+def _accuracy_counts(cfg, preds, targets, valid):
+    v = jnp.ones(preds.shape[0], jnp.float32) if valid is None else valid.astype(jnp.float32)
+    if cfg.multilabel:
+        correct = jnp.sum((preds == targets).astype(jnp.float32) * v[:, None])
+        n = jnp.sum(v) * preds.shape[-1]
+    else:
+        correct = jnp.sum((preds == targets).astype(jnp.float32) * v)
+        n = jnp.sum(v)
+    return correct, n
+
+
+def _maybe_tim(cfg: LossConfig, rng, batch):
+    if not cfg.use_tim_loss:
+        return None, None
+    tim_ids, tim_mask, tim_tt, tim_labels = itm_swap(
+        rng, batch["ids"], batch["mask"], batch.get("token_type_ids"),
+        batch.get("valid"),
+    )
+    return {"ids": tim_ids, "mask": tim_mask, "token_type_ids": tim_tt}, tim_labels
+
+
+def make_train_step(
+    forward_fn: Callable,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    class_weights=None,
+    donate: bool = True,
+):
+    """forward_fn(params, batch, tim_inputs, dropout_rng, deterministic)
+    -> outputs dict."""
+
+    def step(params, opt_state, batch, rng):
+        rng_drop, rng_itm = jax.random.split(rng)
+        tim_inputs, tim_labels = _maybe_tim(loss_cfg, rng_itm, batch)
+
+        def loss_fn(p):
+            outputs = forward_fn(p, batch, tim_inputs, rng_drop, False)
+            total, parts = assemble_loss(loss_cfg, outputs, batch, tim_labels,
+                                         class_weights)
+            return total, (outputs, parts)
+
+        (_, (outputs, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        preds, targets = _predictions(loss_cfg, outputs["out_cls"], batch["labels"])
+        correct, n = _accuracy_counts(loss_cfg, preds, targets, batch.get("valid"))
+        metrics = {**parts, "correct": correct, "n": n}
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(forward_fn: Callable, loss_cfg: LossConfig, class_weights=None):
+    """Eval step: deterministic forward (ITM swap still stochastic, as in the
+    reference's eval, mm_late.py:565-568), loss, predictions, and on-device
+    confusion accumulation."""
+
+    def step(params, batch, rng):
+        tim_inputs, tim_labels = _maybe_tim(loss_cfg, rng, batch)
+        outputs = forward_fn(params, batch, tim_inputs, None, True)
+        total, parts = assemble_loss(loss_cfg, outputs, batch, tim_labels,
+                                     class_weights)
+        preds, targets = _predictions(loss_cfg, outputs["out_cls"], batch["labels"])
+        valid = batch.get("valid")
+        correct, n = _accuracy_counts(loss_cfg, preds, targets, valid)
+        if loss_cfg.multilabel:
+            cm = multilabel_counts_update(preds, targets, valid)
+        else:
+            cm = confusion_matrix_update(preds, targets, loss_cfg.num_labels, valid)
+        return {
+            **parts,
+            "predictions": preds,
+            "targets": targets,
+            "cm": cm,
+            "correct": correct,
+            "n": n,
+        }
+
+    return jax.jit(step)
+
+
+def make_feature_step(forward_fn: Callable):
+    """mm_features extraction (reference mm_late.py:703-739)."""
+
+    def step(params, batch):
+        outputs = forward_fn(params, batch, None, None, True)
+        return outputs["mm_features"], jnp.argmax(batch["labels"], axis=-1)
+
+    return jax.jit(step)
