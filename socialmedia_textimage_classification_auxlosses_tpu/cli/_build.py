@@ -1,0 +1,389 @@
+"""Model-family builders: model + params (+imported weights) + compiled steps
++ pipelines, shared by the CLI runners and the benchmark/entry harnesses.
+
+Each builder returns a ``Setup`` with everything a run needs; the runners
+stay thin (argument plumbing + artifact names), mirroring how the reference's
+trainer wrapper classes (``TextModel``/``ImageModel``/``MMLate_Model``) own
+tokenizer+model+loader construction (reference text_only.py:72-121,
+mm_late.py:303-387).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as C
+from ..data.images import normalize_on_device
+from ..data.pipeline import PipelineConfig, SplitPipeline, make_image_source
+from ..data.prep import prepare_data
+from ..data.tokenizers import build_tokenizer
+from ..models import hf_import as H
+from ..models.fusion import MMCnnModel, MMLateModel, init_mm_late_params
+from ..models.text import NO_TOKEN_TYPES, build_text_classifier, text_encoder_config
+from ..models.vision import (
+    CNN_MODELS, IMAGE_NORM, VisionClassifier, build_vision_classifier,
+    vision_encoder_config, vit_geometry,
+)
+from ..parallel.mesh import MeshPlan, make_mesh_plan
+from ..train.optim import make_optimizer, vision_frozen_predicate, count_params
+from ..train.steps import LossConfig, make_eval_step, make_feature_step, make_train_step
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class Setup:
+    model: object
+    params: dict
+    forward_fn: Callable
+    loss_cfg: LossConfig
+    tx: object
+    opt_state: object
+    train_step: Callable
+    eval_step: Callable
+    feature_step: Callable
+    tokenizer: object
+    mesh_plan: Optional[MeshPlan]
+    class_weights: Optional[jnp.ndarray]
+    pipes: Dict[str, SplitPipeline]
+    image_norm: Optional[tuple] = None
+
+
+def make_mesh(args) -> MeshPlan:
+    return make_mesh_plan(data=getattr(args, "mesh_data", None),
+                          model=getattr(args, "mesh_model", 1))
+
+
+def _loss_cfg_from(cfg: C.Config) -> LossConfig:
+    return LossConfig(
+        num_labels=cfg.num_labels,
+        multilabel=cfg.multilabel,
+        use_clip_loss=cfg.use_clip_loss,
+        use_tim_loss=cfg.use_tim_loss,
+        use_iadds_loss=cfg.use_iadds_loss,
+        use_loss_correction=cfg.use_loss_correction,
+        beta_itc=cfg.beta_itc,
+        beta_itm=cfg.beta_itm,
+        beta_iadds=cfg.beta_iadds,
+        T=tuple(map(tuple, C.T)),
+    )
+
+
+def _finish(setup_kwargs, args, cfg, frozen_pred=None):
+    """Optimizer, steps, sharding."""
+    loss_cfg = setup_kwargs["loss_cfg"]
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred)
+    params = setup_kwargs["params"]
+    mesh_plan = setup_kwargs["mesh_plan"]
+    if mesh_plan is not None:
+        params = mesh_plan.shard_params(params)
+    opt_state = tx.init(params)
+    cw = setup_kwargs["class_weights"]
+    fwd = setup_kwargs["forward_fn"]
+    setup_kwargs.update(
+        params=params,
+        tx=tx,
+        opt_state=opt_state,
+        train_step=make_train_step(fwd, loss_cfg, tx, class_weights=cw),
+        eval_step=make_eval_step(fwd, loss_cfg, class_weights=cw),
+        feature_step=make_feature_step(fwd),
+    )
+    logger.info("model parameters %d (trainable %d)",
+                count_params(params),
+                count_params(params, trainable_only=True,
+                             frozen_predicate=frozen_pred or (lambda *_: False)))
+    return Setup(**setup_kwargs)
+
+
+def _make_pipes(cfg, splits, tokenizer, image_source_fn=None, pipe_cfg=None,
+                roi_cache=None):
+    pipes = {}
+    for name, split in splits.items():
+        img_src = image_source_fn(split) if image_source_fn else None
+        pipes[name] = SplitPipeline(split, pipe_cfg, tokenizer=tokenizer,
+                                    image_source=img_src, roi_cache=roi_cache)
+    return pipes
+
+
+# ---------------------------------------------------------------------------
+# Text-only (reference run_txt.py / text_only.py)
+# ---------------------------------------------------------------------------
+
+
+def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Setup:
+    from .. import cli  # noqa: F401
+    from ._common import arch_overrides
+
+    model_name = args.model_name
+    model_dir = C.MODEL_DIR_DICT.get(model_name)
+    overrides = arch_overrides(args)
+    enc_cfg = text_encoder_config(
+        model_name, model_dir, dtype=args.dtype, attn_impl=args.attn_impl,
+        remat=getattr(args, "remat", False), **overrides,
+    )
+    model = build_text_classifier(
+        model_name, cfg.num_labels, model_dir, dropout=cfg.dropout,
+        dtype=args.dtype, attn_impl=args.attn_impl,
+        remat=getattr(args, "remat", False), **overrides,
+    )
+    tokenizer = build_tokenizer(model_name, model_dir, cfg.max_length,
+                                enc_cfg.vocab_size)
+
+    if data_splits is None:
+        rng = np.random.RandomState(args.seed)
+        train, val, test, weights = prepare_data(
+            cfg.data, cfg.num_labels, testing=args.testing,
+            task_name=cfg.task_name, rng=rng,
+        )
+        data_splits = {"train": train, "val": val, "test": test}
+    else:
+        weights = data_splits.pop("_weights", None)
+
+    use_tt = model_name not in NO_TOKEN_TYPES
+    ids0 = jnp.zeros((2, cfg.max_length), jnp.int32)
+    params = model.init(jax.random.PRNGKey(args.seed), ids0, ids0,
+                        ids0 if use_tt else None)
+    params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
+                                       path=("params", "tower"))
+
+    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        logits = model.apply(
+            p, batch["ids"], batch["mask"], batch.get("token_type_ids"),
+            deterministic=deterministic, rngs=rngs,
+        )
+        return {"out_cls": logits}
+
+    frozen = (lambda path, x: "tower" in [str(getattr(q, "key", q)) for q in path]) \
+        if freeze else None
+
+    pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
+                              with_images=False)
+    pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg)
+    return _finish(
+        dict(model=model, params=params, forward_fn=forward_fn,
+             loss_cfg=_loss_cfg_from(cfg),
+             class_weights=None if weights is None else jnp.asarray(weights),
+             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes),
+        args, cfg, frozen_pred=frozen,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-only (reference run_img.py / image_only.py)
+# ---------------------------------------------------------------------------
+
+
+def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
+    from ._common import arch_overrides
+
+    model_name = args.model_name
+    model_dir = C.MODEL_DIR_DICT.get(model_name)
+    overrides = arch_overrides(args)
+    is_cnn = model_name in CNN_MODELS
+
+    if is_cnn:
+        from ..models.resnet import build_resnet_classifier
+
+        model = build_resnet_classifier(model_name, cfg.num_labels,
+                                        dtype=args.dtype,
+                                        conv_att=getattr(args, "conv_att", False))
+        image_size = 224
+        norm = IMAGE_NORM["imagenet"]
+        center_crop_from = None  # to_tensor_and_normalize resizes directly
+    else:
+        model = build_vision_classifier(
+            model_name, cfg.num_labels, model_dir, dtype=args.dtype,
+            attn_impl=args.attn_impl, remat=getattr(args, "remat", False),
+            **overrides,
+        )
+        image_size = vit_geometry(model_name, model_dir)["image_size"]
+        norm = IMAGE_NORM[model_name]
+        center_crop_from = None
+
+    if data_splits is None:
+        rng = np.random.RandomState(args.seed)
+        train, val, test, weights = prepare_data(
+            cfg.data, cfg.num_labels, testing=args.testing,
+            task_name=cfg.task_name, rng=rng,
+        )
+        data_splits = {"train": train, "val": val, "test": test}
+    else:
+        weights = data_splits.pop("_weights", None)
+
+    px0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    if is_cnn:
+        variables = model.init(jax.random.PRNGKey(args.seed), px0, train=False)
+        params = variables
+        state = H.load_state_dict(model_dir) if model_dir else None
+        # torchvision resnet import is tracked for a later round; random init
+        # otherwise (reference loads a local .pth, image_only.py:59-60).
+    else:
+        params = model.init(jax.random.PRNGKey(args.seed), px0)
+        geo = vit_geometry(model_name, model_dir)
+        enc_cfg = vision_encoder_config(model_name, model_dir, dtype=args.dtype,
+                                        **overrides)
+        params = H.maybe_import_vision_tower(
+            params, model_dir, enc_cfg.layers,
+            distilled=(model_name == "deit"),
+            pooling=("mean" if model_name == "beit" else "tanh"),
+            path=("params", "tower"),
+        )
+
+    mean, std = norm
+    dtype = jnp.dtype(args.dtype)
+
+    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
+        if is_cnn:
+            # BatchNorm in inference mode: the frozen-stats fine-tuning
+            # variant; full BN training support comes with mutable state.
+            logits = model.apply(p, pixels, train=False)
+        else:
+            logits = model.apply(p, pixels, deterministic=deterministic, rngs=rngs)
+        return {"out_cls": logits}
+
+    def image_source_fn(split):
+        return make_image_source(
+            cfg.img_fmt, ids=split.ids, size=image_size,
+            center_crop_from=center_crop_from,
+            use_cache=getattr(args, "use_saved_features", False),
+            cache_dir=f"{C.DATA_PATH}cache/{cfg.task_name}_u8_{image_size}",
+        )
+
+    pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, with_text=False,
+                              image_size=image_size)
+    pipes = _make_pipes(cfg, data_splits, None, image_source_fn, pipe_cfg)
+    return _finish(
+        dict(model=model, params=params, forward_fn=forward_fn,
+             loss_cfg=_loss_cfg_from(cfg),
+             class_weights=None if weights is None else jnp.asarray(weights),
+             tokenizer=None, mesh_plan=make_mesh(args), pipes=pipes,
+             image_norm=norm),
+        args, cfg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM late fusion (reference run_mm_late.py / mm_late.py)
+# ---------------------------------------------------------------------------
+
+
+def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
+    from ._common import arch_overrides
+
+    txt_name, img_name = args.txt_model_name, args.img_model_name
+    txt_dir = C.MODEL_DIR_DICT.get(txt_name)
+    img_dir = C.MODEL_DIR_DICT.get(img_name)
+    overrides = arch_overrides(args)
+    is_cnn = img_name in CNN_MODELS
+
+    text_cfg = text_encoder_config(
+        txt_name, txt_dir, dtype=args.dtype, attn_impl=args.attn_impl,
+        remat=getattr(args, "remat", False), **overrides,
+    )
+    use_tt = txt_name not in NO_TOKEN_TYPES
+    tokenizer = build_tokenizer(txt_name, txt_dir, cfg.max_length,
+                                text_cfg.vocab_size)
+
+    if is_cnn:
+        model = MMCnnModel(text_cfg, img_name, cfg.num_labels,
+                           fusion_name=args.fusion_name, dropout=cfg.dropout)
+        image_size = 224
+        norm = IMAGE_NORM["mm_cnn"]
+        center_crop_from = 256
+        geo = None
+    else:
+        vis_cfg = vision_encoder_config(
+            img_name, img_dir, dtype=args.dtype, attn_impl=args.attn_impl,
+            remat=getattr(args, "remat", False), **overrides,
+        )
+        geo = vit_geometry(img_name, img_dir)
+        image_size = geo["image_size"]
+        norm = IMAGE_NORM[img_name]
+        center_crop_from = None
+        model = MMLateModel(
+            text_cfg, vis_cfg, cfg.num_labels, fusion_name=args.fusion_name,
+            dropout=cfg.dropout, patch=geo["patch"], image_size=image_size,
+            num_prefix_tokens=geo["num_prefix_tokens"],
+            vision_pooling=("mean" if img_name == "beit" else "tanh"),
+        )
+
+    if data_splits is None:
+        rng = np.random.RandomState(args.seed)
+        train, val, test, weights = prepare_data(
+            cfg.data, cfg.num_labels, testing=args.testing,
+            nsamples=getattr(args, "nsamples", -1),
+            load_image_adds=cfg.use_iadds_loss, multilabel=cfg.multilabel,
+            task_name=cfg.task_name, rng=rng,
+        )
+        data_splits = {"train": train, "val": val, "test": test}
+    else:
+        weights = data_splits.pop("_weights", None)
+
+    ids0 = jnp.zeros((2, cfg.max_length), jnp.int32)
+    px0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    tt0 = ids0 if use_tt else None
+    if is_cnn:
+        params = model.init(jax.random.PRNGKey(args.seed), ids0, ids0, px0, tt0)
+        params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
+                                           path=("params", "text"))
+        frozen = None
+    else:
+        params = init_mm_late_params(model, jax.random.PRNGKey(args.seed),
+                                     ids0, ids0, px0, tt0)
+        params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
+                                           path=("params", "dual", "text"))
+        params = H.maybe_import_vision_tower(
+            params, img_dir, vis_cfg.layers,
+            distilled=(img_name == "deit"),
+            pooling=("mean" if img_name == "beit" else "tanh"),
+            path=("params", "dual", "vision"),
+        )
+        frozen = vision_frozen_predicate  # reference mm_late.py:67-69
+
+    mean, std = norm
+    dtype = jnp.dtype(args.dtype)
+
+    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
+        if is_cnn:
+            return model.apply(p, batch["ids"], batch["mask"], pixels,
+                               batch.get("token_type_ids"),
+                               deterministic=deterministic, rngs=rngs)
+        return model.apply(
+            p, batch["ids"], batch["mask"], pixels, batch.get("token_type_ids"),
+            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+            tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
+            iadds_task=cfg.use_iadds_loss,
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    def image_source_fn(split):
+        return make_image_source(
+            cfg.img_fmt, ids=split.ids, size=image_size,
+            center_crop_from=center_crop_from,
+            use_cache=getattr(args, "use_saved_features", False),
+            cache_dir=f"{C.DATA_PATH}cache/{cfg.task_name}_u8_{image_size}",
+        )
+
+    pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
+                              image_size=image_size)
+    pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
+    return _finish(
+        dict(model=model, params=params, forward_fn=forward_fn,
+             loss_cfg=_loss_cfg_from(cfg),
+             class_weights=None if weights is None else jnp.asarray(weights),
+             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes,
+             image_norm=norm),
+        args, cfg, frozen_pred=frozen,
+    )

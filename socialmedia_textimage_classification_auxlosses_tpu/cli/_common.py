@@ -1,0 +1,104 @@
+"""Shared CLI plumbing: the reference repeats a near-identical argparse block
+and seeding/results-dir logic in each of its four runners (reference
+``run_txt.py:19-44``, ``run_img.py:19-44``, ``run_mm_late.py:20-62``,
+``run_mm_early.py:19-49``); here it is one module.
+
+All reference flags are preserved verbatim; TPU-runtime flags (``--dtype``,
+``--attn_impl``, ``--mesh_data/--mesh_model``, ``--arch``, ``--resume``,
+``--profile``) are additions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+ARCH_PRESETS = {
+    "base": {},
+    "small": dict(hidden=256, layers=4, heads=4, mlp_dim=512),
+    "tiny": dict(hidden=64, layers=2, heads=2, mlp_dim=128),
+}
+
+
+def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
+    parser.add_argument("--task", type=int, choices=[0, 1, 2, 3, 4, 5, 6],
+                        help="task to run")
+    parser.add_argument("--epochs", type=int, default=2, help="number of epochs")
+    parser.add_argument("--weight_decay", type=float, default=0.00025,
+                        help="weight decay param")
+    parser.add_argument("--lr", type=float, default=1e-5, help="learning rate param")
+    parser.add_argument("--dropout", type=float, default=0.05, help="dropout param")
+    parser.add_argument("--seed", type=int, default=30, help="manual seed")
+    parser.add_argument("--testing", action="store_true", help="testing sample")
+    parser.add_argument("--save_model", action="store_true", help="save model")
+    parser.add_argument("--save_preds", action="store_true", help="eval test")
+    parser.add_argument("--use_loss_correction", action="store_true",
+                        help="use Loss correction (only for binary cases)")
+    if multimodal:
+        parser.add_argument("--use_clip_loss", action="store_true",
+                            help="use contrastive Loss")
+        parser.add_argument("--use_tim_loss", action="store_true", help="use TIM Loss")
+        parser.add_argument("--beta_itc", type=float, default=0.1,
+                            help="hyperparameter for itc loss")
+        parser.add_argument("--beta_itm", type=float, default=0.1,
+                            help="hyperparameter for itm loss")
+        parser.add_argument("--use_saved_features", action="store_true",
+                            help="use preprocessed features")
+    # --- TPU-runtime additions ------------------------------------------
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="activation compute dtype")
+    parser.add_argument("--attn_impl", type=str, default="auto",
+                        choices=["auto", "pallas", "pallas_interpret", "jnp"],
+                        help="attention kernel implementation")
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="data-parallel mesh axis size (default: all devices)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="tensor-parallel mesh axis size")
+    parser.add_argument("--arch", type=str, default="base",
+                        choices=list(ARCH_PRESETS),
+                        help="architecture size preset (tiny/small for smoke runs)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise encoder layers")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest Orbax checkpoint")
+    parser.add_argument("--ckpt_every", type=int, default=0,
+                        help="orbax checkpoint every N steps (0 = off)")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
+    parser.add_argument("--log_every", type=int, default=10,
+                        help="log training metrics every N steps")
+    return parser
+
+
+def seed_everything(seed: int):
+    np.random.seed(seed)
+
+
+def results_dir_for(base: str, testing: bool) -> str:
+    out = base + ("testing/" if testing else "")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def arch_overrides(args) -> dict:
+    return dict(ARCH_PRESETS[args.arch])
+
+
+def save_predictions_csv(res: dict, path: str):
+    """``data_id,label,prediction`` contract (reference run_mm_late.py:117-128)."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "data_id": list(res["data_id"]),
+        "label": [x.tolist() if hasattr(x, "tolist") else x for x in res["labels"]],
+        "prediction": [x.tolist() if hasattr(x, "tolist") else x for x in res["predictions"]],
+    }).to_csv(path, index=False)
+
+
+def save_metrics_csv(metrics: dict, path: str):
+    import pandas as pd
+
+    pd.DataFrame(metrics).to_csv(path, index=False)

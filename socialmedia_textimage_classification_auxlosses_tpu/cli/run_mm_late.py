@@ -1,0 +1,146 @@
+"""Late-fusion multimodal runner — the paper's headline path (reference
+``models/run_mm_late.py``). Full flag surface preserved: txt/img model
+choice, 6 fusion names, aux-loss flags & betas, ``--nsamples``,
+``--use_saved_features``, ``--save_model``/``--load_saved_model``,
+``--eval_txt_test``, ``--save_preds``; artifact naming
+``{txt}-{img}-{fusion}_task{t}_seed{s}_{loss_str}_{N}...`` (reference
+run_mm_late.py:91-96).
+
+    python -m ....cli.run_mm_late --txt_model_name bernice \
+        --img_model_name vit --fusion_name attention --task 2 \
+        --epochs 7 --seed 40 --use_clip_loss --use_tim_loss --testing
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core import config as C
+from ..train.checkpoint import TrainCheckpointer, load_params
+from ..train.loop import Trainer
+from ..train.metrics import compute_metrics
+from ..utils.logging import get_logger
+from ._build import build_mm_late_setup
+from ._common import (add_common_args, results_dir_for, save_metrics_csv,
+                      save_predictions_csv, seed_everything)
+
+logger = get_logger(__name__)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="run late fusion models")
+    parser.add_argument("--txt_model_name", type=str,
+                        choices=["bert", "bernice", "bertweet", "roberta"],
+                        help="model name")
+    parser.add_argument("--img_model_name", type=str,
+                        choices=["vit", "beit", "deit", "resnet50", "resnet152"],
+                        help="model name")
+    parser.add_argument("--fusion_name", type=str,
+                        choices=["xatt", "concat", "attention", "concat_cnn",
+                                 "aspect-att", "gmu"],
+                        help="fusion method")
+    parser.add_argument("--use_iadds_loss", action="store_true",
+                        help="use image-adds loss")
+    parser.add_argument("--beta_iadds", type=float, default=0.1,
+                        help="hyperparameter for iadds loss")
+    parser.add_argument("--nsamples", type=int, default=-1,
+                        help="number of training samples")
+    parser.add_argument("--eval_txt_test", action="store_true", help="eval txt test")
+    parser.add_argument("--load_saved_model", action="store_true",
+                        help="load saved model")
+    add_common_args(parser, multimodal=True)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    seed_everything(args.seed)
+    results_dir = results_dir_for(C.results_dir_mm_late, args.testing)
+    logger.info(
+        "Model: %s-%s, Task: %s, Fusion: %s, Testing: %s, PP Features: %s, "
+        "ITC Loss: %s, TIM Loss: %s, beta_itc: %s, beta_itm: %s, NSamples: %s, "
+        "seed: %s",
+        args.txt_model_name, args.img_model_name, args.task, args.fusion_name,
+        args.testing, args.use_saved_features, args.use_clip_loss,
+        args.use_tim_loss, args.beta_itc, args.beta_itm, args.nsamples, args.seed,
+    )
+
+    cfg = C.Config(args)
+    cfg.use_iadds_loss = args.use_iadds_loss
+    cfg.beta_iadds = args.beta_iadds if args.use_iadds_loss else None
+    setup = build_mm_late_setup(args, cfg)
+
+    loss_str = cfg.loss_str
+    nsamples_str = "" if args.nsamples == -1 else "N" + str(args.nsamples) + "_"
+    stem = "{}-{}-{}_task{}_seed{}_{}_{}".format(
+        args.txt_model_name, args.img_model_name, args.fusion_name,
+        args.task, args.seed, loss_str, nsamples_str,
+    )
+    model_path = (results_dir + stem + "net.pth"
+                  if (args.save_model or args.load_saved_model) else None)
+    val_filename = results_dir + stem + "metrics_val.csv"
+    te_filename = results_dir + stem + "metrics_test.csv"
+
+    ckpt = (TrainCheckpointer(results_dir + stem + "ckpt", args.ckpt_every)
+            if args.ckpt_every else None)
+    trainer = Trainer(
+        setup.train_step, setup.eval_step, setup.params, setup.opt_state,
+        seed=args.seed, mesh_plan=setup.mesh_plan, checkpointer=ckpt,
+        multilabel=cfg.multilabel, num_labels=cfg.num_labels,
+        metric_names=C.metric_names, log_every=args.log_every,
+        profile_dir=args.profile,
+    )
+
+    if not args.load_saved_model:
+        logger.info("Training")
+        trainer.fit(
+            setup.pipes["train"], setup.pipes["val"], args.epochs,
+            te_pipe=setup.pipes["test"], val_filename=val_filename,
+            te_filename=te_filename, model_path=model_path,
+        )
+
+        if args.save_preds:
+            predictions = trainer.evaluate(setup.pipes["test"])
+            path = results_dir + stem + "preds.csv"
+            save_predictions_csv(predictions, path)
+            logger.info("%s saved", path)
+        if args.eval_txt_test:
+            logger.info("Evaluate and compute metrics (txt test)")
+            predictions = trainer.evaluate(_txt_test_pipe(args, cfg, setup))
+            metrics = compute_metrics(predictions, cfg.num_labels)
+            save_predictions_csv(predictions, results_dir + stem + "preds_txt.csv")
+            save_metrics_csv(metrics, results_dir + stem + "metrics_txt.csv")
+    else:
+        # load-and-eval path (reference run_mm_late.py:155-185)
+        trainer.params = load_params(model_path, setup.params)
+        logger.info("model loaded")
+        predictions = trainer.evaluate(setup.pipes["test"])
+        save_predictions_csv(predictions, results_dir + stem + "preds_lm.csv")
+        metrics = compute_metrics(predictions, cfg.num_labels,
+                                  multilabel=cfg.multilabel)
+        save_metrics_csv(metrics, results_dir + stem + "metrics_lm.csv")
+        logger.info("%s saved", results_dir + stem + "metrics_lm.csv")
+
+    logger.info("Done!")
+
+
+def _txt_test_pipe(args, cfg, setup):
+    """MIC text-only eval with the empty image (reference mm_late.py:372-379)."""
+    from ..data.pipeline import PipelineConfig, SplitPipeline, make_image_source
+    from ..data.prep import prepare_text_data
+
+    txt_test = prepare_text_data(C.TDATA5, num_labels=cfg.num_labels,
+                                 testing=args.testing)
+    src = make_image_source(C.EMPTY_IMG, ids=txt_test.ids,
+                            size=setup.pipes["test"].cfg.image_size,
+                            empty_image=C.EMPTY_IMG)
+    return SplitPipeline(
+        txt_test,
+        PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
+                       image_size=setup.pipes["test"].cfg.image_size),
+        tokenizer=setup.tokenizer, image_source=src,
+    )
+
+
+if __name__ == "__main__":
+    main()

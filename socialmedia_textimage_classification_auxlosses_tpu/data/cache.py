@@ -1,0 +1,165 @@
+"""Offline feature caches (replaces the reference's per-sample ``torch.save``
+caches written by ``obj_features.py`` — ``{task}_img_feats/{imgs,vilt}/
+input_{id}`` at reference obj_features.py:99-140 and the ``boxes/features``
+ROI dumps at :142-173).
+
+Design: one memory-mapped ``pixels.npy`` (N, H, W, 3) uint8 per (task, model
+geometry) plus an id index — two files instead of N small pickles, read with
+zero deserialisation cost, resumable via a row-validity bitmap.
+
+ROI features for LXMERT are cached the same way: ``features.npy``
+(N, boxes, 2048) float16 + ``boxes.npy`` (N, boxes, 4) float32, written
+either by importing reference-format dumps or by our grid-feature extractor
+(``cli/obj_features.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from .images import load_pixels_u8
+
+logger = get_logger(__name__)
+
+
+class ImageCache:
+    """uint8 pixel cache for one (task, image-size) combination."""
+
+    def __init__(self, cache_dir: str, size: int = 224):
+        self.cache_dir = cache_dir
+        self.size = size
+        self.meta_path = os.path.join(cache_dir, "meta.json")
+        self.pixels_path = os.path.join(cache_dir, "pixels.npy")
+        self.index = {}
+        self.valid = None
+        self._pixels = None
+        if os.path.isfile(self.meta_path):
+            with open(self.meta_path) as f:
+                meta = json.load(f)
+            self.index = {str(k): v for k, v in meta["index"].items()}
+            self.size = meta["size"]
+            self.valid = np.asarray(meta["valid"], bool)
+
+    def build(self, ids: Sequence, img_fmt: str, empty_image: Optional[str] = None,
+              center_crop_from: Optional[int] = None, on_missing: str = "zeros"):
+        """Resumable bulk build (reference obj_features resumability via
+        done_ids dir scans, obj_features.py:58-60)."""
+        os.makedirs(self.cache_dir, exist_ok=True)
+        ids = [str(x) for x in ids]
+        if self.index and all(i in self.index for i in ids):
+            return self
+        n = len(ids)
+        pixels = np.lib.format.open_memmap(
+            self.pixels_path, mode="w+", dtype=np.uint8, shape=(n, self.size, self.size, 3)
+        )
+        valid = np.zeros(n, bool)
+        for row, data_id in enumerate(ids):
+            try:
+                pixels[row] = load_pixels_u8(
+                    img_fmt, data_id, size=self.size, empty_image=empty_image,
+                    center_crop_from=center_crop_from, on_missing="error",
+                )
+                valid[row] = True
+            except Exception:
+                if on_missing == "error":
+                    raise
+                logger.info("failed id %s", data_id)
+            if row % 500 == 0:
+                logger.info("image cache %d/%d", row, n)
+        pixels.flush()
+        self.index = {data_id: row for row, data_id in enumerate(ids)}
+        self.valid = valid
+        with open(self.meta_path, "w") as f:
+            json.dump({"index": self.index, "size": self.size,
+                       "valid": valid.tolist()}, f)
+        return self
+
+    @property
+    def pixels(self):
+        if self._pixels is None:
+            self._pixels = np.load(self.pixels_path, mmap_mode="r")
+        return self._pixels
+
+    def rows(self, ids) -> np.ndarray:
+        return np.asarray([self.index[str(i)] for i in ids], np.int64)
+
+    def gather(self, ids) -> np.ndarray:
+        return self.pixels[self.rows(ids)]
+
+
+class RoiFeatureCache:
+    """Precomputed object features for the LXMERT path (reference
+    ``datasets.py:289-294`` torch.loads two tensors per sample per epoch)."""
+
+    def __init__(self, cache_dir: str, num_boxes: int = 36, feat_dim: int = 2048):
+        self.cache_dir = cache_dir
+        self.num_boxes = num_boxes
+        self.feat_dim = feat_dim
+        self.meta_path = os.path.join(cache_dir, "meta.json")
+        self.feat_path = os.path.join(cache_dir, "features.npy")
+        self.box_path = os.path.join(cache_dir, "boxes.npy")
+        self.index = {}
+        if os.path.isfile(self.meta_path):
+            with open(self.meta_path) as f:
+                meta = json.load(f)
+            self.index = {str(k): v for k, v in meta["index"].items()}
+            self.num_boxes = meta["num_boxes"]
+            self.feat_dim = meta["feat_dim"]
+        self._feats = None
+        self._boxes = None
+
+    def write(self, ids, features: np.ndarray, boxes: np.ndarray):
+        os.makedirs(self.cache_dir, exist_ok=True)
+        np.save(self.feat_path, features.astype(np.float16))
+        np.save(self.box_path, boxes.astype(np.float32))
+        self.index = {str(i): row for row, i in enumerate(ids)}
+        with open(self.meta_path, "w") as f:
+            json.dump({"index": self.index, "num_boxes": self.num_boxes,
+                       "feat_dim": self.feat_dim}, f)
+
+    @property
+    def features(self):
+        if self._feats is None:
+            self._feats = np.load(self.feat_path, mmap_mode="r")
+        return self._feats
+
+    @property
+    def boxes(self):
+        if self._boxes is None:
+            self._boxes = np.load(self.box_path, mmap_mode="r")
+        return self._boxes
+
+    def gather(self, ids):
+        rows = np.asarray([self.index[str(i)] for i in ids], np.int64)
+        return (np.asarray(self.features[rows], np.float32),
+                np.asarray(self.boxes[rows], np.float32))
+
+    def import_reference_dumps(self, data_path: str, task_name: str, ids) -> bool:
+        """Ingest the reference's per-sample torch dumps
+        (``{task}_img_feats/{boxes,features}/``) if present."""
+        box_dir = os.path.join(data_path, f"{task_name}_img_feats", "boxes")
+        feat_dir = os.path.join(data_path, f"{task_name}_img_feats", "features")
+        if not (os.path.isdir(box_dir) and os.path.isdir(feat_dir)):
+            return False
+        import torch
+
+        feats, boxes, kept = [], [], []
+        for data_id in ids:
+            fp = os.path.join(feat_dir, f"feat_{data_id}")
+            bp = os.path.join(box_dir, f"nbox_{data_id}")
+            if not (os.path.isfile(fp) and os.path.isfile(bp)):
+                continue
+            feats.append(torch.load(fp, map_location="cpu").squeeze(0).numpy())
+            boxes.append(torch.load(bp, map_location="cpu").squeeze(0).numpy())
+            kept.append(data_id)
+        if not kept:
+            return False
+        self.num_boxes = feats[0].shape[0]
+        self.feat_dim = feats[0].shape[1]
+        self.write(kept, np.stack(feats), np.stack(boxes))
+        return True

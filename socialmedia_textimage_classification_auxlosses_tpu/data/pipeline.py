@@ -1,0 +1,174 @@
+"""Batch pipeline (L2 back half): fixed-shape, prefetched device batches.
+
+Replaces the reference's per-sample ``Dataset.__getitem__`` + DataLoader
+workers (reference ``datasets.py``, SURVEY.md section 3.1 "HOT LOOP"):
+
+* text is normalized + tokenized ONCE per split into padded int32 arrays
+  (the reference redoes regex + encode_plus every epoch);
+* images come from the uint8 cache (or an in-memory memoised lazy loader) —
+  decoded/resized once, normalized on device;
+* every batch has the same static shape; the final partial batch is padded
+  and carries a ``valid`` row mask (XLA: one compiled step, no retraces);
+* ``device_iter`` keeps one batch in flight (device_put is async) so host
+  prep overlaps device compute, and shards batches over the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .cache import ImageCache, RoiFeatureCache
+from .images import load_pixels_u8
+from .prep import SplitArrays
+
+
+class LazyImageSource:
+    """Decode+resize on first touch, memoise in RAM (uint8)."""
+
+    def __init__(self, img_fmt: str, size: int = 224, empty_image=None,
+                 center_crop_from=None, on_missing="zeros"):
+        self.img_fmt = img_fmt
+        self.size = size
+        self.empty_image = empty_image
+        self.center_crop_from = center_crop_from
+        self.on_missing = on_missing
+        self._memo: Dict[str, np.ndarray] = {}
+
+    def gather(self, ids) -> np.ndarray:
+        out = np.empty((len(ids), self.size, self.size, 3), np.uint8)
+        for i, data_id in enumerate(ids):
+            key = str(data_id)
+            px = self._memo.get(key)
+            if px is None:
+                try:
+                    px = load_pixels_u8(
+                        self.img_fmt, data_id, size=self.size,
+                        empty_image=self.empty_image,
+                        center_crop_from=self.center_crop_from,
+                        on_missing=self.on_missing,
+                    )
+                except Exception:
+                    px = np.zeros((self.size, self.size, 3), np.uint8)
+                self._memo[key] = px
+            out[i] = px
+        return out
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    batch_size: int
+    max_length: int = 128
+    image_size: int = 224
+    with_images: bool = True
+    with_text: bool = True
+    center_crop_from: Optional[int] = None
+
+
+class SplitPipeline:
+    """One split's tokenised arrays + image source -> padded batches."""
+
+    def __init__(
+        self,
+        split: SplitArrays,
+        cfg: PipelineConfig,
+        tokenizer=None,
+        image_source=None,
+        roi_cache: Optional[RoiFeatureCache] = None,
+    ):
+        self.cfg = cfg
+        self.n = len(split)
+        self.labels = np.asarray(split.labels, np.float32)
+        self.data_ids = split.ids
+        self.ids_num = split.ids_num
+        self.image_adds = split.image_adds
+        self.image_source = image_source
+        self.roi_cache = roi_cache
+        if cfg.with_text and tokenizer is not None:
+            enc = tokenizer(list(split.text))
+            self.ids = enc["ids"]
+            self.mask = enc["mask"]
+            self.token_type_ids = enc.get("token_type_ids")
+        else:
+            self.ids = self.mask = self.token_type_ids = None
+
+    def __len__(self):
+        return self.n
+
+    @property
+    def num_batches(self):
+        return max(1, -(-self.n // self.cfg.batch_size)) if self.n else 0
+
+    def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        if self.n == 0:
+            return
+        order = np.arange(self.n)
+        if shuffle:
+            (rng or np.random.RandomState(0)).shuffle(order)
+        bs = self.cfg.batch_size
+        for start in range(0, self.n, bs):
+            idx = order[start:start + bs]
+            pad = bs - len(idx)
+            valid = np.ones(bs, np.float32)
+            if pad:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                valid[len(idx) - pad:] = 0.0
+            batch: Dict[str, np.ndarray] = {
+                "labels": self.labels[idx],
+                "valid": valid,
+                "data_id": self.ids_num[idx],
+            }
+            if self.ids is not None:
+                batch["ids"] = self.ids[idx]
+                batch["mask"] = self.mask[idx]
+                if self.token_type_ids is not None:
+                    batch["token_type_ids"] = self.token_type_ids[idx]
+            if self.image_source is not None and self.cfg.with_images:
+                batch["pixel_values"] = self.image_source.gather(
+                    [self.data_ids[i] for i in idx]
+                )
+            if self.roi_cache is not None:
+                feats, boxes = self.roi_cache.gather([self.data_ids[i] for i in idx])
+                batch["roi_features"] = feats
+                batch["roi_boxes"] = boxes
+            if self.image_adds is not None:
+                batch["image_adds"] = np.asarray(self.image_adds, np.int32)[idx]
+            yield batch
+
+    def device_iter(self, shuffle=False, rng=None, mesh_plan=None):
+        """Device-put with one batch of lookahead; shards on the data axis
+        when a mesh plan is given."""
+        import jax
+
+        put = (mesh_plan.shard_batch if mesh_plan is not None else jax.device_put)
+        pending = None
+        for batch in self.batches(shuffle=shuffle, rng=rng):
+            nxt = put(batch)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+
+def make_image_source(
+    img_fmt: str,
+    ids=None,
+    size: int = 224,
+    cache_dir: Optional[str] = None,
+    empty_image=None,
+    center_crop_from=None,
+    use_cache: bool = False,
+):
+    """Disk-backed uint8 cache when requested (the reference's
+    ``--use_saved_features``), memoised lazy loading otherwise."""
+    if use_cache and cache_dir and ids is not None:
+        return ImageCache(cache_dir, size=size).build(
+            ids, img_fmt, empty_image=empty_image,
+            center_crop_from=center_crop_from,
+        )
+    return LazyImageSource(img_fmt, size=size, empty_image=empty_image,
+                           center_crop_from=center_crop_from)

@@ -1,0 +1,174 @@
+"""Host-side tokenization feeding fixed-shape device buffers (SURVEY.md
+section 2.2: "tokenizers lib retained host-side; padding/truncation layout is
+ours").
+
+The reference calls ``tokenizer.encode_plus`` per *sample*, per *epoch*
+(reference ``datasets.py:38-47``). Here tokenization is vectorised once per
+split into padded ``(N, max_length)`` int32 arrays and cached — the XLA step
+never sees a ragged shape.
+
+Backends, in order of preference per model dir:
+  1. ``tokenizer.json``          -> HF tokenizers (Rust) fast tokenizer
+  2. ``vocab.txt``               -> our C++ WordPiece (ops/native, if built),
+                                    else the Rust BertWordPiece, else pure-Py
+  3. ``vocab.json``+``merges.txt`` -> Rust byte-level BPE (RoBERTa layout)
+  4. none (fully offline)        -> deterministic hashing tokenizer
+
+Every backend emits the same triple (ids, attention_mask, token_type_ids?)
+with the family's special-token layout (BERT: [CLS] x [SEP]; RoBERTa-likes:
+<s> x </s> and no token types — reference datasets.py:53-55).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .normalize import TweetNormalizer
+
+
+class BatchEncoding(dict):
+    @property
+    def ids(self):
+        return self["ids"]
+
+
+class HashTokenizer:
+    """Deterministic offline tokenizer: whitespace tokens hashed into the
+    vocab range. Exists so every pipeline/CLI path runs hermetically (no
+    downloaded vocabs); swaps out transparently when a real vocab is present.
+    """
+
+    def __init__(self, vocab_size: int, max_length: int, use_token_types: bool,
+                 pad_id=0, unk_id=1, cls_id=2, sep_id=3):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.use_token_types = use_token_types
+        self.pad_id, self.unk_id, self.cls_id, self.sep_id = pad_id, unk_id, cls_id, sep_id
+        self.pad_token_id = pad_id
+
+    def _token_id(self, token: str) -> int:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
+        return 4 + h % (self.vocab_size - 4)
+
+    def encode_batch(self, texts: List[str]):
+        n, L = len(texts), self.max_length
+        ids = np.full((n, L), self.pad_id, np.int32)
+        mask = np.zeros((n, L), np.int32)
+        for i, text in enumerate(texts):
+            toks = [self._token_id(t) for t in str(text).split()][: L - 2]
+            row = [self.cls_id] + toks + [self.sep_id]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        tt = np.zeros((n, L), np.int32) if self.use_token_types else None
+        return ids, mask, tt
+
+
+class RustTokenizer:
+    """HF `tokenizers` (Rust) backend with our fixed-shape padding layout."""
+
+    def __init__(self, tok, max_length: int, use_token_types: bool, pad_id: int):
+        self.tok = tok
+        self.max_length = max_length
+        self.use_token_types = use_token_types
+        self.pad_token_id = pad_id
+        tok.enable_truncation(max_length)
+        tok.enable_padding(length=max_length, pad_id=pad_id, pad_token="[PAD]")
+
+    def encode_batch(self, texts: List[str]):
+        encs = self.tok.encode_batch([str(t) for t in texts])
+        ids = np.asarray([e.ids for e in encs], np.int32)
+        mask = np.asarray([e.attention_mask for e in encs], np.int32)
+        tt = (
+            np.asarray([e.type_ids for e in encs], np.int32)
+            if self.use_token_types else None
+        )
+        return ids, mask, tt
+
+
+def _try_rust_backend(model_dir: str, max_length: int, use_token_types: bool):
+    try:
+        import tokenizers
+    except ImportError:
+        return None
+    tj = os.path.join(model_dir, "tokenizer.json")
+    if os.path.isfile(tj):
+        tok = tokenizers.Tokenizer.from_file(tj)
+        pad_id = tok.token_to_id("[PAD]")
+        if pad_id is None:
+            pad_id = tok.token_to_id("<pad>") or 0
+        return RustTokenizer(tok, max_length, use_token_types, pad_id)
+    vt = os.path.join(model_dir, "vocab.txt")
+    if os.path.isfile(vt):
+        from tokenizers import BertWordPieceTokenizer
+
+        tok = BertWordPieceTokenizer(vt, lowercase=True)
+        return RustTokenizer(tok._tokenizer, max_length, use_token_types,
+                             tok.token_to_id("[PAD]") or 0)
+    vj = os.path.join(model_dir, "vocab.json")
+    mg = os.path.join(model_dir, "merges.txt")
+    if os.path.isfile(vj) and os.path.isfile(mg):
+        from tokenizers import ByteLevelBPETokenizer
+        from tokenizers.processors import RobertaProcessing
+
+        tok = ByteLevelBPETokenizer(vj, mg)
+        tok._tokenizer.post_processor = RobertaProcessing(
+            sep=("</s>", tok.token_to_id("</s>")), cls=("<s>", tok.token_to_id("<s>"))
+        )
+        inner = tok._tokenizer
+        pad = tok.token_to_id("<pad>") or 1
+        rt = RustTokenizer.__new__(RustTokenizer)
+        rt.tok = inner
+        rt.max_length = max_length
+        rt.use_token_types = use_token_types
+        rt.pad_token_id = pad
+        inner.enable_truncation(max_length)
+        inner.enable_padding(length=max_length, pad_id=pad, pad_token="<pad>")
+        return rt
+    return None
+
+
+class TweetTokenizerFrontend:
+    """Normalization + tokenization + caching facade used by the pipeline.
+
+    ``normalize=True`` applies the BERTweet tweet normalization exactly where
+    the reference does (reference datasets.py:36,161).
+    """
+
+    def __init__(self, backend, normalize: bool = True):
+        self.backend = backend
+        self.normalizer = TweetNormalizer() if normalize else None
+        self.max_length = backend.max_length
+        self.pad_token_id = backend.pad_token_id
+        self.use_token_types = backend.use_token_types
+
+    def __call__(self, texts) -> BatchEncoding:
+        texts = [str(t) for t in texts]
+        if self.normalizer is not None:
+            texts = [self.normalizer.normalize(t) for t in texts]
+        ids, mask, tt = self.backend.encode_batch(texts)
+        out = BatchEncoding(ids=ids, mask=mask)
+        if tt is not None:
+            out["token_type_ids"] = tt
+        return out
+
+
+def build_tokenizer(
+    model_name: str,
+    model_dir: Optional[str],
+    max_length: int,
+    vocab_size: int,
+    normalize: bool = True,
+) -> TweetTokenizerFrontend:
+    from ..models.text import NO_TOKEN_TYPES
+
+    use_tt = model_name not in NO_TOKEN_TYPES
+    backend = None
+    if model_dir and os.path.isdir(model_dir):
+        backend = _try_rust_backend(model_dir, max_length, use_tt)
+    if backend is None:
+        backend = HashTokenizer(vocab_size, max_length, use_tt)
+    return TweetTokenizerFrontend(backend, normalize=normalize)

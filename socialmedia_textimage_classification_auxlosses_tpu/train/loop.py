@@ -1,0 +1,204 @@
+"""Training driver (the reference's per-class ``train``/``eval`` methods —
+``mm_late.py:416-638``, ``text_only.py:124-268`` — as one generic loop over
+compiled steps).
+
+Observable contract preserved:
+  * per-epoch val (and test) eval;
+  * metric x epoch CSVs written every 2 epochs and at the last epoch
+    (reference mm_late.py:511-527) through ``agg_metrics_val``;
+  * eval ``res`` dict with data_id / loss (mean of per-batch losses) /
+    predictions / labels;
+  * final param save to the reference's filename.
+
+TPU-first behaviour the reference lacks: one compiled step for the whole
+update, async dispatch (the host never blocks on the device between steps),
+steps/sec + posts/sec logging, optional ``jax.profiler`` traces, and Orbax
+mid-training checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..utils.logging import get_logger
+from .metrics import agg_metrics_val
+
+logger = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_step,
+        eval_step,
+        params,
+        opt_state,
+        seed: int = 30,
+        mesh_plan=None,
+        checkpointer=None,
+        multilabel: bool = False,
+        num_labels: int = 2,
+        metric_names: Optional[List[str]] = None,
+        log_every: int = 10,
+        profile_dir: Optional[str] = None,
+    ):
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.params = params
+        self.opt_state = opt_state
+        self.root_key = jax.random.PRNGKey(seed)
+        self.host_rng = np.random.RandomState(seed)
+        self.mesh_plan = mesh_plan
+        self.checkpointer = checkpointer
+        self.multilabel = multilabel
+        self.num_labels = num_labels
+        self.metric_names = metric_names or []
+        self.log_every = log_every
+        self.profile_dir = profile_dir
+        self.global_step = 0
+        self.start_epoch = 0
+
+    # -- resume -------------------------------------------------------------
+
+    def maybe_resume(self):
+        if self.checkpointer is None:
+            return
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "step": 0, "epoch": 0}
+        restored = self.checkpointer.restore_latest(template)
+        if restored:
+            self.params = restored["params"]
+            self.opt_state = restored["opt_state"]
+            self.global_step = int(restored["step"])
+            self.start_epoch = int(restored["epoch"])
+
+    # -- train --------------------------------------------------------------
+
+    def fit(
+        self,
+        train_pipe,
+        val_pipe,
+        epochs: int,
+        te_pipe=None,
+        val_filename: Optional[str] = None,
+        te_filename: Optional[str] = None,
+        model_path: Optional[str] = None,
+    ):
+        import pandas as pd
+
+        self.maybe_resume()
+        res_val: List[Dict] = []
+        res_te: List[Dict] = []
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                logger.info("Epoch: %d", epoch + 1)
+                t_epoch = time.perf_counter()
+                seen = 0
+                last_metrics = None
+                for i, batch in enumerate(
+                    train_pipe.device_iter(shuffle=True, rng=self.host_rng,
+                                           mesh_plan=self.mesh_plan)
+                ):
+                    step_key = jax.random.fold_in(self.root_key, self.global_step)
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state, batch, step_key
+                    )
+                    self.global_step += 1
+                    seen += int(train_pipe.cfg.batch_size)
+                    last_metrics = metrics
+                    if i % self.log_every == 0:
+                        # blocks only on this step's scalars
+                        m = {k: float(v) for k, v in metrics.items()}
+                        acc = 100.0 * m["correct"] / max(m["n"], 1.0)
+                        logger.info(
+                            "step %d loss %.4f acc %.2f%%",
+                            self.global_step, m["loss"], acc,
+                        )
+                    if self.checkpointer is not None:
+                        self.checkpointer.maybe_save(
+                            self.global_step,
+                            {"params": self.params, "opt_state": self.opt_state,
+                             "step": self.global_step, "epoch": epoch},
+                        )
+                if last_metrics is not None:
+                    jax.block_until_ready(last_metrics["loss"])
+                dt = time.perf_counter() - t_epoch
+                nb = train_pipe.num_batches
+                logger.info(
+                    "epoch %d: %.1fs, %.2f steps/s, %.1f posts/s",
+                    epoch + 1, dt, nb / dt, seen / dt,
+                )
+
+                res_val_d = self.evaluate(val_pipe)
+                res_val_d["epoch"] = epoch
+                res_val.append(res_val_d)
+                if val_filename and (epoch % 2 == 0 or epoch == epochs - 1):
+                    table = agg_metrics_val(res_val, self.metric_names,
+                                            self.num_labels, self.multilabel)
+                    pd.DataFrame(table).to_csv(val_filename, index=False)
+                    logger.info("%s saved!", val_filename)
+
+                if te_pipe is not None:
+                    res_te_d = self.evaluate(te_pipe)
+                    res_te_d["epoch"] = epoch
+                    res_te.append(res_te_d)
+                    if te_filename and (epoch % 2 == 0 or epoch == epochs - 1):
+                        table = agg_metrics_val(res_te, self.metric_names,
+                                                self.num_labels, self.multilabel)
+                        pd.DataFrame(table).to_csv(te_filename, index=False)
+                        logger.info("%s saved!", te_filename)
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+        if model_path:
+            from .checkpoint import save_params
+
+            save_params(model_path, self.params)
+        if self.checkpointer is not None:
+            self.checkpointer.wait()
+        return res_val, res_te
+
+    # -- eval ---------------------------------------------------------------
+
+    def evaluate(self, pipe, collect_features=False, feature_step=None) -> Dict:
+        """Reference-contract eval result (mm_late.py:534-638): per-batch
+        mean loss, stacked predictions/labels/data_ids; confusion counts
+        accumulate on device."""
+        losses, preds, targets, data_ids = [], [], [], []
+        cm = None
+        correct = 0.0
+        n = 0.0
+        features = []
+        for batch in pipe.device_iter(shuffle=False, mesh_plan=self.mesh_plan):
+            key = jax.random.fold_in(self.root_key, 10_000_000 + len(losses))
+            out = self.eval_step(self.params, batch, key)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            losses.append(float(out["loss"]))
+            preds.append(np.asarray(out["predictions"])[valid])
+            targets.append(np.asarray(out["targets"])[valid])
+            data_ids.append(np.asarray(batch["data_id"])[valid])
+            cm = np.asarray(out["cm"]) if cm is None else cm + np.asarray(out["cm"])
+            correct += float(out["correct"])
+            n += float(out["n"])
+            if collect_features and feature_step is not None:
+                feats, _ = feature_step(self.params, batch)
+                features.append(np.asarray(feats)[valid])
+        eval_loss = float(np.mean(losses)) if losses else float("nan")
+        acc = 100.0 * correct / max(n, 1.0)
+        logger.info("loss: %.4f acc: %.4f", eval_loss, acc)
+        res = {
+            "data_id": np.concatenate(data_ids) if data_ids else np.array([]),
+            "loss": eval_loss,
+            "predictions": np.concatenate(preds) if preds else np.array([]),
+            "labels": np.concatenate(targets) if targets else np.array([]),
+            "cm": cm,
+        }
+        if collect_features:
+            res["features"] = np.concatenate(features) if features else np.array([])
+        return res
