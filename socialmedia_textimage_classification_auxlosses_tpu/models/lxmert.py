@@ -1,0 +1,200 @@
+"""LXMERT-style cross-modal encoder over precomputed ROI features
+(reference ``mm_early.py:105-172``; HF LxmertModel topology).
+
+Language branch (self-attention layers) + vision branch (ROI feature + box
+position embeddings, self-attention layers) + cross-modality layers where
+each modality cross-attends the other — the cross-modal attention over the
+~36 object features is the kernel the north star asks for in Pallas; it runs
+through ``ops.attention.sdpa`` like every other attention in the framework.
+
+Head stack per the reference ``Lxmert`` class: crossmodal rep = first
+language token -> linear_fusion -> ReLU -> dropout -> cls head
+(mm_early.py:132-136); ITC embeddings = masked max-pool over language tokens
+and max-pool over vision outputs (mm_early.py:138-143); learnable logit_scale
+(init 2.6592); TIM second pass over swapped text (mm_early.py:146-160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .encoder import Attention, EncoderConfig, EncoderLayer, Mlp
+
+
+@dataclasses.dataclass(frozen=True)
+class LxmertConfig:
+    vocab_size: int = 30522
+    hidden: int = 768
+    heads: int = 12
+    mlp_dim: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    l_layers: int = 9
+    r_layers: int = 5
+    x_layers: int = 5
+    visual_feat_dim: int = 2048
+    visual_pos_dim: int = 4
+    dropout: float = 0.1
+    ln_eps: float = 1e-12
+    dtype: str = "float32"
+    attn_impl: str = "auto"
+
+    def encoder_cfg(self, layers: int) -> EncoderConfig:
+        return EncoderConfig(
+            vocab_size=self.vocab_size, hidden=self.hidden, layers=layers,
+            heads=self.heads, mlp_dim=self.mlp_dim,
+            max_positions=self.max_positions, type_vocab=self.type_vocab,
+            dropout=self.dropout, ln_eps=self.ln_eps, ln_style="post",
+            dtype=self.dtype, attn_impl=self.attn_impl,
+        )
+
+
+class CrossModalityLayer(nn.Module):
+    """One LXMERT x-layer: bidirectional cross-attention, then per-modality
+    self-attention and FFN (post-LN residuals throughout)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, lang, vis, lang_mask, vis_mask, deterministic=True):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name=name)
+        cross = Attention(cfg, name="cross_attention")
+        # bidirectional cross-attention with shared weights (LXMERT design)
+        lang2 = ln("ln_cross_l")(lang + cross(lang, vis, vis_mask, deterministic))
+        vis2 = ln("ln_cross_v")(vis + cross(vis, lang, lang_mask, deterministic))
+        # modality-private self-attention
+        lang_self = Attention(cfg, name="lang_self")
+        vis_self = Attention(cfg, name="vis_self")
+        lang3 = ln("ln_self_l")(lang2 + lang_self(lang2, lang2, lang_mask, deterministic))
+        vis3 = ln("ln_self_v")(vis2 + vis_self(vis2, vis2, vis_mask, deterministic))
+        # FFNs
+        lang4 = ln("ln_mlp_l")(lang3 + Mlp(cfg, name="lang_mlp")(lang3, deterministic))
+        vis4 = ln("ln_mlp_v")(vis3 + Mlp(cfg, name="vis_mlp")(vis3, deterministic))
+        return lang4, vis4
+
+
+class VisualFeatEmbeddings(nn.Module):
+    """ROI feature + normalized-box position embeddings, averaged
+    (LXMERT visual input head)."""
+
+    cfg: EncoderConfig
+    visual_feat_dim: int = 2048
+    visual_pos_dim: int = 4
+
+    @nn.compact
+    def __call__(self, feats, boxes, deterministic=True):
+        cfg = self.cfg
+        f = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="feat_proj")(
+            feats.astype(cfg.jdtype)
+        )
+        f = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="feat_ln")(f)
+        p = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="pos_proj")(
+            boxes.astype(cfg.jdtype)
+        )
+        p = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="pos_ln")(p)
+        out = (f + p) / 2.0
+        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+
+class LxmertBackbone(nn.Module):
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, ids, attention_mask, token_type_ids, visual_feats,
+                 visual_pos, deterministic=True):
+        from .encoder import TextEmbeddings
+
+        lcfg = self.cfg.encoder_cfg(self.cfg.l_layers)
+        lang = TextEmbeddings(lcfg, name="embeddings")(
+            ids, token_type_ids, attention_mask, deterministic
+        )
+        vis = VisualFeatEmbeddings(
+            lcfg, self.cfg.visual_feat_dim, self.cfg.visual_pos_dim,
+            name="visual_embeddings",
+        )(visual_feats, visual_pos, deterministic)
+
+        vis_mask = jnp.ones(vis.shape[:2], jnp.int32)
+        for i in range(self.cfg.l_layers):
+            lang = EncoderLayer(lcfg, name=f"lang_layer_{i}")(
+                lang, attention_mask, deterministic
+            )
+        for i in range(self.cfg.r_layers):
+            vis = EncoderLayer(lcfg, name=f"vis_layer_{i}")(
+                vis, vis_mask, deterministic
+            )
+        for i in range(self.cfg.x_layers):
+            lang, vis = CrossModalityLayer(lcfg, name=f"x_layer_{i}")(
+                lang, vis, attention_mask, vis_mask, deterministic
+            )
+        return lang, vis
+
+
+class LxmertClassifier(nn.Module):
+    """Reference ``Lxmert`` head stack (mm_early.py:105-172)."""
+
+    cfg: LxmertConfig
+    num_labels: int
+    dropout: float = 0.1
+    logit_scale_init: float = 2.6592
+
+    def setup(self):
+        self.backbone = LxmertBackbone(self.cfg, name="backbone")
+        self.linear_fusion = nn.Dense(self.cfg.hidden, dtype=jnp.float32,
+                                      name="linear_fusion")
+        self.head_dropout = nn.Dropout(self.dropout)
+        self.linear = nn.Dense(self.num_labels, dtype=jnp.float32, name="linear")
+        self.linear_tim = nn.Dense(2, dtype=jnp.float32, name="linear_tim")
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(self.logit_scale_init, jnp.float32)
+        )
+
+    def _head(self, lang, deterministic):
+        xt_xv = nn.relu(self.linear_fusion(lang[:, 0, :].astype(jnp.float32)))
+        xt_xv = self.head_dropout(xt_xv, deterministic=deterministic)
+        return xt_xv
+
+    def __call__(self, ids, attention_mask, token_type_ids, visual_feats,
+                 visual_pos, tim_ids=None, tim_mask=None,
+                 tim_token_type_ids=None, deterministic=True):
+        lang, vis = self.backbone(ids, attention_mask, token_type_ids,
+                                  visual_feats, visual_pos, deterministic)
+        fused = self._head(lang, deterministic)
+        out_cls = self.linear(fused)
+
+        # masked max-pool ITC embeddings (mm_early.py:138-143)
+        neg = jnp.asarray(-1e9, lang.dtype)
+        masked_lang = jnp.where(attention_mask[:, :, None] > 0, lang, neg)
+        x_t = jnp.max(masked_lang, axis=1)
+        x_v = jnp.max(vis, axis=1)
+
+        out_tim = None
+        if tim_ids is not None:
+            lang_tim, _ = self.backbone(tim_ids, tim_mask, tim_token_type_ids,
+                                        visual_feats, visual_pos, deterministic)
+            out_tim = self.linear_tim(lang_tim[:, 0, :].astype(jnp.float32))
+
+        return {
+            "out_cls": out_cls,
+            "logits_per_text": self.get_logits_per_text(x_t, x_v),
+            "out_tim": out_tim,
+            "out_iadds": None,
+            "mm_features": fused,
+        }
+
+    def get_logits_per_text(self, x_t, x_v):
+        t = x_t.astype(jnp.float32)
+        v = x_v.astype(jnp.float32)
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return jnp.exp(self.logit_scale) * (t @ v.T)
+
+
+def init_lxmert_params(model: LxmertClassifier, rng, ids, mask, token_type_ids,
+                       feats, boxes):
+    return model.init(rng, ids, mask, token_type_ids, feats, boxes,
+                      tim_ids=ids, tim_mask=mask, tim_token_type_ids=token_type_ids)

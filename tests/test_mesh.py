@@ -1,0 +1,100 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md section 4:
+'TPU tests on CPU via device-count spoofing to exercise the pjit mesh')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from socialmedia_textimage_classification_auxlosses_tpu.parallel.mesh import (
+    make_mesh_plan,
+)
+from socialmedia_textimage_classification_auxlosses_tpu.models.encoder import EncoderConfig
+from socialmedia_textimage_classification_auxlosses_tpu.models.fusion import (
+    MMLateModel, init_mm_late_params,
+)
+from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
+    make_optimizer, vision_frozen_predicate,
+)
+from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+    LossConfig, make_train_step,
+)
+
+TEXT = EncoderConfig(vocab_size=64, hidden=32, layers=1, heads=2, mlp_dim=64,
+                     max_positions=16, type_vocab=2, dropout=0.0)
+VISION = EncoderConfig(vocab_size=1, hidden=32, layers=1, heads=2, mlp_dim=64,
+                       max_positions=1, type_vocab=0, ln_style="pre", dropout=0.0)
+
+
+def _setup(rng, batch=8):
+    model = MMLateModel(TEXT, VISION, num_labels=3, fusion_name="attention",
+                        dropout=0.0, patch=8, image_size=16)
+    ids = jnp.array(rng.randint(0, 64, (batch, 12)))
+    mask = jnp.ones((batch, 12), jnp.int32)
+    pixels = jnp.array(rng.randn(batch, 16, 16, 3), jnp.float32)
+    labels = jnp.eye(3, dtype=jnp.float32)[rng.randint(0, 3, batch)]
+    params = init_mm_late_params(model, jax.random.PRNGKey(0), ids, mask, pixels)
+    batch_d = {"ids": ids, "mask": mask, "pixel_values": pixels,
+               "labels": labels, "valid": jnp.ones((batch,), jnp.float32)}
+
+    def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        return model.apply(
+            p, b["ids"], b["mask"], b["pixel_values"],
+            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    return model, params, batch_d, forward_fn
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("data,model_axis", [(8, 1), (4, 2)])
+def test_sharded_loss_and_grads_match_single_device(rng, data, model_axis):
+    """Sharded loss AND gradients must match the unsharded computation
+    (GSPMD inserts psum/all-gather; the math cannot change). Gradients are
+    the right invariant — Adam's first step amplifies reduction-order noise
+    on near-zero gradients to ±lr, so post-update params are not comparable
+    bitwise."""
+    _, params, batch, forward_fn = _setup(rng)
+    cfg = LossConfig(num_labels=3, use_clip_loss=True, use_tim_loss=True,
+                     beta_itc=0.1, beta_itm=0.1)
+    key = jax.random.PRNGKey(7)
+
+    from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+        assemble_loss, _maybe_tim,
+    )
+
+    def loss_of(p, b):
+        tim_inputs, tim_labels = _maybe_tim(cfg, key, b)
+        outputs = forward_fn(p, b, tim_inputs, None, True)
+        total, _ = assemble_loss(cfg, outputs, b, tim_labels, jnp.ones(3))
+        return total
+
+    gfn = jax.jit(jax.value_and_grad(loss_of))
+    loss_ref, grads_ref = gfn(params, batch)
+
+    plan = make_mesh_plan(data=data, model=model_axis)
+    loss_sh, grads_sh = gfn(plan.shard_params(params), plan.shard_batch(batch))
+
+    assert abs(float(loss_ref) - float(loss_sh)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(grads_ref),
+                    jax.tree_util.tree_leaves(grads_sh)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
+
+
+def test_param_specs_cover_tp_axes(rng):
+    plan = make_mesh_plan(data=4, model=2)
+    _, params, _, _ = _setup(rng)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda path, x: plan.param_spec(path), params
+    )
+    flat = [(tuple(str(getattr(p, "key", p)) for p in path), spec)
+            for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]]
+    sharded = [s for _, s in flat if s != jax.sharding.PartitionSpec()]
+    assert sharded, "TP rules should shard at least the qkv/mlp kernels"
