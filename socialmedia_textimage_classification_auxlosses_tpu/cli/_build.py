@@ -30,7 +30,9 @@ from ..models.vision import (
     vision_encoder_config, vit_geometry,
 )
 from ..parallel.mesh import MeshPlan, make_mesh_plan
-from ..train.optim import make_optimizer, vision_frozen_predicate, count_params
+from ..train.optim import (any_of, batch_stats_predicate,
+                           feature_extract_predicate, make_optimizer,
+                           vision_frozen_predicate, count_params)
 from ..train.steps import LossConfig, make_eval_step, make_feature_step, make_train_step
 from ..utils.logging import get_logger
 
@@ -194,7 +196,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         model = build_resnet_classifier(model_name, cfg.num_labels,
                                         dtype=args.dtype,
                                         conv_att=getattr(args, "conv_att", False))
-        image_size = 224
+        image_size = getattr(args, "image_size", None) or 224
         norm = IMAGE_NORM["imagenet"]
         center_crop_from = None  # to_tensor_and_normalize resizes directly
     else:
@@ -218,12 +220,12 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         weights = data_splits.pop("_weights", None)
 
     px0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    frozen = batch_stats_predicate  # BN stats never decay
     if is_cnn:
-        variables = model.init(jax.random.PRNGKey(args.seed), px0, train=False)
-        params = variables
-        state = H.load_state_dict(model_dir) if model_dir else None
-        # torchvision resnet import is tracked for a later round; random init
-        # otherwise (reference loads a local .pth, image_only.py:59-60).
+        params = model.init(jax.random.PRNGKey(args.seed), px0, train=False)
+        params = H.maybe_import_resnet(params, model_dir, model_name)
+        if getattr(args, "feature_extract", False):
+            frozen = any_of(batch_stats_predicate, feature_extract_predicate)
     else:
         params = model.init(jax.random.PRNGKey(args.seed), px0)
         geo = vit_geometry(model_name, model_dir)
@@ -267,7 +269,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
              class_weights=None if weights is None else jnp.asarray(weights),
              tokenizer=None, mesh_plan=make_mesh(args), pipes=pipes,
              image_norm=norm),
-        args, cfg,
+        args, cfg, frozen_pred=frozen,
     )
 
 
@@ -296,7 +298,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     if is_cnn:
         model = MMCnnModel(text_cfg, img_name, cfg.num_labels,
                            fusion_name=args.fusion_name, dropout=cfg.dropout)
-        image_size = 224
+        image_size = getattr(args, "image_size", None) or 224
         norm = IMAGE_NORM["mm_cnn"]
         center_crop_from = 256
         geo = None
@@ -335,7 +337,9 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         params = model.init(jax.random.PRNGKey(args.seed), ids0, ids0, px0, tt0)
         params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
                                            path=("params", "text"))
-        frozen = None
+        params = H.maybe_import_resnet(params, img_dir, img_name,
+                                       path=("params", "cnn"))
+        frozen = batch_stats_predicate
     else:
         params = init_mm_late_params(model, jax.random.PRNGKey(args.seed),
                                      ids0, ids0, px0, tt0)

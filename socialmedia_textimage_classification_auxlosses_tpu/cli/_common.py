@@ -70,6 +70,8 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--log_every", type=int, default=10,
                         help="log training metrics every N steps")
+    parser.add_argument("--image_size", type=int, default=None,
+                        help="override the model's input image size")
     return parser
 
 

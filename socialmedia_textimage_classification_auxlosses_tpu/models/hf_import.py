@@ -210,3 +210,76 @@ def maybe_import_vision_tower(params: dict, model_dir: str, num_layers: int,
     return merge_tower(
         params, import_vit_tower(state, num_layers, distilled, pooling), path
     )
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet (reference image_only.py:59-60 loads a local .pth)
+# ---------------------------------------------------------------------------
+
+
+def _conv(state, key):
+    return {"kernel": np.transpose(state[f"{key}.weight"], (2, 3, 1, 0)).copy()}
+
+
+def _bn(state, key):
+    return (
+        {"scale": state[f"{key}.weight"].copy(), "bias": state[f"{key}.bias"].copy()},
+        {"mean": state[f"{key}.running_mean"].copy(),
+         "var": state[f"{key}.running_var"].copy()},
+    )
+
+
+def import_resnet(state: Dict[str, np.ndarray], stage_sizes) -> dict:
+    """torchvision resnet state dict -> {params, batch_stats} trees matching
+    models/resnet.py (fc head intentionally skipped — the reference swaps it
+    for a fresh ``num_labels`` head, image_only.py:62-63)."""
+    params: dict = {"stem_conv": _conv(state, "conv1")}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(state, "bn1")
+    for s, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            src = f"layer{s + 1}.{b}"
+            dst = f"stage{s}_block{b}"
+            node_p: dict = {}
+            node_s: dict = {}
+            for c in (1, 2, 3):
+                node_p[f"conv{c}"] = _conv(state, f"{src}.conv{c}")
+                node_p[f"bn{c}"], node_s[f"bn{c}"] = _bn(state, f"{src}.bn{c}")
+            if f"{src}.downsample.0.weight" in state:
+                node_p["down_conv"] = _conv(state, f"{src}.downsample.0")
+                node_p["down_bn"], node_s["down_bn"] = _bn(state, f"{src}.downsample.1")
+            params[dst] = node_p
+            stats[dst] = node_s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_file(path: str) -> Optional[Dict[str, np.ndarray]]:
+    if not path or not os.path.isfile(path):
+        return None
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def maybe_import_resnet(variables: dict, weight_path: str, model_name: str,
+                        path=()) -> dict:
+    """Graft torchvision resnet weights into an initialised variables dict
+    (params + batch_stats). ``path`` addresses the ResNet submodule inside
+    each collection (e.g. ("params", "cnn") for MMCnnModel)."""
+    from .resnet import STAGE_SIZES
+
+    state = load_torch_file(weight_path)
+    if state is None and weight_path and os.path.isdir(weight_path):
+        state = load_state_dict(weight_path)
+    if state is None:
+        return variables
+    trees = import_resnet(state, STAGE_SIZES[model_name])
+    sub = path[1:] if path and path[0] == "params" else ()
+    variables = merge_tower(variables, trees["params"],
+                            path=("params",) + tuple(sub))
+    variables = merge_tower(variables, trees["batch_stats"],
+                            path=("batch_stats",) + tuple(sub))
+    return variables

@@ -62,37 +62,38 @@ def sdpa_reference(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *, scale):
-    """One (batch*head) attention problem, fully in VMEM.
-
-    Emits both the output and the probability matrix; the probabilities stay
-    on-chip for the same-program output matmul and are also written out for
-    the backward kernel (cheap at these shapes: Lq x Lk <= 224x224).
-    """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+def _probs(q, k, mask, scale):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    mask = mask_ref[0]  # (1, Lk) int32
     s = jnp.where(mask > 0, s, _NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    """One (batch*head) attention problem, fully in VMEM. Only the output
+    leaves the chip — no (Lq, Lk) score/probability tensor ever touches HBM
+    (the backward kernel recomputes it, flash-attention style)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    p = _probs(q, k, mask_ref[0], scale)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    p_ref[0] = p.astype(p_ref.dtype)
 
 
-def _bwd_kernel(p_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    """Backward for one (batch*head): dV = P^T dO; dS = P ∘ (dO V^T - rowsum);
-    dQ = dS K scale; dK = dS^T Q scale. All operands stay in VMEM."""
-    p = p_ref[0].astype(jnp.float32)
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale):
+    """Backward for one (batch*head): recompute P in VMEM, then
+    dV = P^T dO; dS = P ∘ (dO V^T - rowsum); dQ = dS K scale; dK = dS^T Q
+    scale. All intermediates stay on-chip."""
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
+    p = _probs(q, k, mask_ref[0], scale)
     dv = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -113,16 +114,16 @@ def _bh_spec(l, d):
     return pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
+def _mask_flat(key_mask, b, h, lk):
+    return jnp.repeat(key_mask.astype(jnp.int32)[:, None, :], h, axis=1).reshape(
+        b * h, 1, lk
+    )
+
+
 def _pallas_fwd(q, k, v, key_mask, scale, interpret):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    qf = q.reshape(b * h, lq, d)
-    kf = k.reshape(b * h, lk, d)
-    vf = v.reshape(b * h, lk, d)
-    maskf = jnp.repeat(key_mask.astype(jnp.int32)[:, None, :], h, axis=1).reshape(
-        b * h, 1, lk
-    )
-    out, probs = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=(b * h,),
         in_specs=[
@@ -131,27 +132,25 @@ def _pallas_fwd(q, k, v, key_mask, scale, interpret):
             _bh_spec(lk, d),
             pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(_bh_spec(lq, d), _bh_spec(lq, lk)),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq, lk), jnp.float32),
-        ),
+        out_specs=_bh_spec(lq, d),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, maskf)
-    return out.reshape(b, h, lq, d), probs
+    )(q.reshape(b * h, lq, d), k.reshape(b * h, lk, d), v.reshape(b * h, lk, d),
+      _mask_flat(key_mask, b, h, lk))
+    return out.reshape(b, h, lq, d)
 
 
-def _pallas_bwd(probs, q, k, v, do, scale, interpret):
+def _pallas_bwd(q, k, v, key_mask, do, scale, interpret):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=(b * h,),
         in_specs=[
-            _bh_spec(lq, lk),
             _bh_spec(lq, d),
             _bh_spec(lk, d),
             _bh_spec(lk, d),
+            pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             _bh_spec(lq, d),
         ],
         out_specs=(_bh_spec(lq, d), _bh_spec(lk, d), _bh_spec(lk, d)),
@@ -162,10 +161,10 @@ def _pallas_bwd(probs, q, k, v, do, scale, interpret):
         ),
         interpret=interpret,
     )(
-        probs,
         q.reshape(b * h, lq, d),
         k.reshape(b * h, lk, d),
         v.reshape(b * h, lk, d),
+        _mask_flat(key_mask, b, h, lk),
         do.reshape(b * h, lq, d),
     )
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
@@ -173,18 +172,17 @@ def _pallas_bwd(probs, q, k, v, do, scale, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _sdpa_pallas(q, k, v, key_mask, scale, interpret):
-    out, _ = _pallas_fwd(q, k, v, key_mask, scale, interpret)
-    return out
+    return _pallas_fwd(q, k, v, key_mask, scale, interpret)
 
 
 def _sdpa_pallas_fwd(q, k, v, key_mask, scale, interpret):
-    out, probs = _pallas_fwd(q, k, v, key_mask, scale, interpret)
-    return out, (probs, q, k, v)
+    out = _pallas_fwd(q, k, v, key_mask, scale, interpret)
+    return out, (q, k, v, key_mask)
 
 
 def _sdpa_pallas_bwd(scale, interpret, res, do):
-    probs, q, k, v = res
-    dq, dk, dv = _pallas_bwd(probs, q, k, v, do, scale, interpret)
+    q, k, v, key_mask = res
+    dq, dk, dv = _pallas_bwd(q, k, v, key_mask, do, scale, interpret)
     return dq, dk, dv, None
 
 

@@ -28,6 +28,23 @@ def vision_frozen_predicate(path, _) -> bool:
     return _path_contains(path, "vision")
 
 
+def batch_stats_predicate(path, _) -> bool:
+    """BatchNorm running statistics live in the variables tree; they must
+    never receive AdamW weight decay (a zero-grad param still decays)."""
+    return _path_contains(path, "batch_stats")
+
+
+def feature_extract_predicate(path, _) -> bool:
+    """``--feature_extract``: freeze the conv trunk, train only the fc head
+    (reference image_only.py:54-88)."""
+    keys = [str(getattr(p, "key", p)) for p in path]
+    return "fc" not in keys
+
+
+def any_of(*preds):
+    return lambda path, x: any(p(path, x) for p in preds)
+
+
 def make_optimizer(
     lr: float,
     weight_decay: float,

@@ -1,0 +1,151 @@
+"""CNN model-family paths: ResNet image-only runner, CNN-fusion late runner,
+torchvision-format weight import, BN-stats freezing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+
+from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+from socialmedia_textimage_classification_auxlosses_tpu.models import hf_import as H
+from socialmedia_textimage_classification_auxlosses_tpu.models.resnet import (
+    ResNet, STAGE_SIZES,
+)
+
+from fixtures import make_task_fixture, patch_task
+
+FAST = ["--arch", "tiny", "--dtype", "float32", "--attn_impl", "jnp",
+        "--epochs", "1", "--log_every", "1", "--image_size", "64"]
+
+
+@pytest.fixture
+def task3(tmp_path, monkeypatch):
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3)
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "results")
+    return tmp_path
+
+
+def _fake_torchvision_state(stage_sizes, seed=0):
+    """Synthesise a torchvision-format resnet state dict (random values)."""
+    rng = np.random.RandomState(seed)
+    state = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+
+    def bn(key, c):
+        state[f"{key}.weight"] = rng.rand(c).astype(np.float32)
+        state[f"{key}.bias"] = rng.randn(c).astype(np.float32)
+        state[f"{key}.running_mean"] = rng.randn(c).astype(np.float32)
+        state[f"{key}.running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+    bn("bn1", 64)
+    for s, blocks in enumerate(stage_sizes):
+        cin = 64 * 2 ** s if s == 0 else 64 * 2 ** s * 2
+        for b in range(blocks):
+            src = f"layer{s + 1}.{b}"
+            width = 64 * 2 ** s
+            prev = 64 if (s == 0 and b == 0) else (width * 4 if b > 0 else width * 2)
+            state[f"{src}.conv1.weight"] = rng.randn(width, prev, 1, 1).astype(np.float32)
+            bn(f"{src}.bn1", width)
+            state[f"{src}.conv2.weight"] = rng.randn(width, width, 3, 3).astype(np.float32)
+            bn(f"{src}.bn2", width)
+            state[f"{src}.conv3.weight"] = rng.randn(width * 4, width, 1, 1).astype(np.float32)
+            bn(f"{src}.bn3", width * 4)
+            if b == 0:
+                state[f"{src}.downsample.0.weight"] = rng.randn(
+                    width * 4, prev, 1, 1).astype(np.float32)
+                bn(f"{src}.downsample.1", width * 4)
+    return state
+
+
+def test_import_resnet_mapping():
+    import jax.numpy as jnp
+
+    sizes = STAGE_SIZES["resnet50"]
+    model = ResNet(sizes, num_labels=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    # synthesise a state dict with exactly the shapes our tree expects
+    state = {}
+    inv_conv = lambda k: np.transpose(np.asarray(k), (3, 2, 0, 1))
+    p, s = variables["params"], variables["batch_stats"]
+    state["conv1.weight"] = inv_conv(p["stem_conv"]["kernel"]) + 1.0
+    state["bn1.weight"] = np.asarray(p["stem_bn"]["scale"]) + 1.0
+    state["bn1.bias"] = np.asarray(p["stem_bn"]["bias"]) + 1.0
+    state["bn1.running_mean"] = np.asarray(s["stem_bn"]["mean"]) + 1.0
+    state["bn1.running_var"] = np.asarray(s["stem_bn"]["var"]) + 1.0
+    for st, blocks in enumerate(sizes):
+        for b in range(blocks):
+            src, dst = f"layer{st + 1}.{b}", f"stage{st}_block{b}"
+            for c in (1, 2, 3):
+                state[f"{src}.conv{c}.weight"] = inv_conv(p[dst][f"conv{c}"]["kernel"]) + 1.0
+                state[f"{src}.bn{c}.weight"] = np.asarray(p[dst][f"bn{c}"]["scale"]) + 1.0
+                state[f"{src}.bn{c}.bias"] = np.asarray(p[dst][f"bn{c}"]["bias"]) + 1.0
+                state[f"{src}.bn{c}.running_mean"] = np.asarray(s[dst][f"bn{c}"]["mean"]) + 1.0
+                state[f"{src}.bn{c}.running_var"] = np.asarray(s[dst][f"bn{c}"]["var"]) + 1.0
+            if "down_conv" in p[dst]:
+                state[f"{src}.downsample.0.weight"] = inv_conv(p[dst]["down_conv"]["kernel"]) + 1.0
+                state[f"{src}.downsample.1.weight"] = np.asarray(p[dst]["down_bn"]["scale"]) + 1.0
+                state[f"{src}.downsample.1.bias"] = np.asarray(p[dst]["down_bn"]["bias"]) + 1.0
+                state[f"{src}.downsample.1.running_mean"] = np.asarray(s[dst]["down_bn"]["mean"]) + 1.0
+                state[f"{src}.downsample.1.running_var"] = np.asarray(s[dst]["down_bn"]["var"]) + 1.0
+
+    trees = H.import_resnet(state, sizes)
+    merged = H.merge_tower(variables, trees["params"], path=("params",))
+    merged = H.merge_tower(merged, trees["batch_stats"], path=("batch_stats",))
+    # every imported leaf moved by exactly +1 vs the original init
+    a = np.asarray(merged["params"]["stem_conv"]["kernel"])
+    b = np.asarray(variables["params"]["stem_conv"]["kernel"])
+    np.testing.assert_allclose(a - b, np.ones_like(a), atol=1e-6)
+    a = np.asarray(merged["batch_stats"]["stage0_block0"]["bn2"]["mean"])
+    b = np.asarray(variables["batch_stats"]["stage0_block0"]["bn2"]["mean"])
+    np.testing.assert_allclose(a - b, np.ones_like(a), atol=1e-6)
+    # fc head untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["fc"]["kernel"]),
+        np.asarray(variables["params"]["fc"]["kernel"]),
+    )
+
+
+def test_run_img_resnet_end_to_end(task3):
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_img
+
+    run_img.main(["--model_name", "resnet50", "--task", "3",
+                  "--feature_extract"] + FAST)
+    stem = C.results_dir_img + "resnet50_task3_seed30"
+    assert os.path.isfile(stem + "_metrics_val.csv")
+
+
+def test_run_mm_late_cnn_fusion(task3):
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    run_mm_late.main([
+        "--txt_model_name", "bert", "--img_model_name", "resnet50",
+        "--fusion_name", "concat_cnn", "--task", "3",
+    ] + FAST)
+    stem = C.results_dir_mm_late + "bert-resnet50-concat_cnn_task3_seed30__"
+    assert os.path.isfile(stem + "metrics_test.csv")
+
+
+def test_batch_stats_never_decay(task3, rng):
+    """AdamW weight decay must not move BN running statistics."""
+    import argparse
+    import jax.numpy as jnp
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_image_setup,
+    )
+
+    args_list = ["--model_name", "resnet50", "--task", "3"] + FAST
+    from socialmedia_textimage_classification_auxlosses_tpu.cli.run_img import parse_args
+
+    args = parse_args(args_list)
+    cfg = C.Config(args, multimodal=False)
+    setup = build_image_setup(args, cfg)
+    batch = next(setup.pipes["train"].batches())
+    batch = jax.device_put(batch)
+    before = np.asarray(setup.params["batch_stats"]["stem_bn"]["mean"])
+    p2, _, _ = setup.train_step(setup.params, setup.opt_state, batch,
+                                jax.random.PRNGKey(0))
+    after = np.asarray(p2["batch_stats"]["stem_bn"]["mean"])
+    np.testing.assert_array_equal(before, after)
