@@ -130,23 +130,43 @@ class MMLateModel(nn.Module):
     def __call__(self, ids, attention_mask, pixel_values, token_type_ids=None,
                  tim_ids=None, tim_mask=None, tim_token_type_ids=None,
                  iadds_task=False, deterministic=True):
-        out = self.dual(ids, attention_mask, pixel_values, token_type_ids,
-                        deterministic)
-        fused = self.fusion(out["text_hidden"], out["vision_hidden"],
-                            out["text_pooled"], out["vision_pooled"])
+        b = ids.shape[0]
+        use_tim = tim_ids is not None
+        if use_tim:
+            # Batch the TIM text pass WITH the primary text pass: one tower
+            # call over 2B rows instead of two over B (per-sample ops —
+            # identical math; 2x the matmul rows keeps the MXU busier at the
+            # reference's small batch sizes). Vision runs once and is shared
+            # (reference recomputes it, mm_late.py:170-175).
+            ids = jnp.concatenate([ids, tim_ids], 0)
+            attention_mask = jnp.concatenate([attention_mask, tim_mask], 0)
+            if token_type_ids is not None:
+                token_type_ids = jnp.concatenate(
+                    [token_type_ids, tim_token_type_ids], 0
+                )
+        text_hidden, text_pooled = self.dual.encode_text(
+            ids, attention_mask, token_type_ids, deterministic
+        )
+        vision_hidden, vision_pooled = self.dual.encode_vision(
+            pixel_values, deterministic
+        )
+        logits_per_text = self.dual.logits_per_text(
+            text_pooled[:b], vision_pooled
+        )
+        if use_tim:
+            vh = jnp.concatenate([vision_hidden, vision_hidden], 0)
+            vp = jnp.concatenate([vision_pooled, vision_pooled], 0)
+        else:
+            vh, vp = vision_hidden, vision_pooled
+        fused_all = self.fusion(text_hidden, vh, text_pooled, vp)
+        fused = fused_all[:b]
         mm_features = fused
         dropped = self.head_dropout(fused, deterministic=deterministic)
         out_cls = self.linear_cls(dropped.astype(jnp.float32))
 
         out_tim = None
-        if tim_ids is not None:
-            # Second text pass over swapped text; vision features reused.
-            tim_hidden, tim_pooled = self.dual.encode_text(
-                tim_ids, tim_mask, tim_token_type_ids, deterministic
-            )
-            fused_tim = self.fusion(tim_hidden, out["vision_hidden"],
-                                    tim_pooled, out["vision_pooled"])
-            out_tim = self.linear_tim(fused_tim.astype(jnp.float32))
+        if use_tim:
+            out_tim = self.linear_tim(fused_all[b:].astype(jnp.float32))
 
         out_iadds = None
         if iadds_task:
@@ -154,7 +174,7 @@ class MMLateModel(nn.Module):
 
         return {
             "out_cls": out_cls,
-            "logits_per_text": out["logits_per_text"],
+            "logits_per_text": logits_per_text,
             "out_tim": out_tim,
             "out_iadds": out_iadds,
             "mm_features": mm_features,
