@@ -212,6 +212,40 @@ def maybe_import_vision_tower(params: dict, model_dir: str, num_layers: int,
     )
 
 
+def import_dual_encoder(state: Dict[str, np.ndarray], text_layers: int,
+                        vision_layers: int, distilled=False,
+                        vision_pooling="tanh") -> dict:
+    """HF ``VisionTextDualEncoderModel`` state dict -> our DualEncoder tree
+    (text tower + vision tower + projections + logit_scale)."""
+    text_state = {k[len("text_model."):]: v for k, v in state.items()
+                  if k.startswith("text_model.")}
+    vision_state = {k[len("vision_model."):]: v for k, v in state.items()
+                    if k.startswith("vision_model.")}
+    tree = {
+        "text": import_bert_tower(text_state, text_layers),
+        "vision": import_vit_tower(vision_state, vision_layers, distilled,
+                                   vision_pooling),
+        "text_proj": _dense_nobias(state, "text_projection"),
+        "visual_proj": _dense_nobias(state, "visual_projection"),
+        "logit_scale": np.asarray(state["logit_scale"], np.float32).reshape(()),
+    }
+    return tree
+
+
+def maybe_import_dual_encoder(params: dict, model_dir: str, text_layers: int,
+                              vision_layers: int, distilled=False,
+                              vision_pooling="tanh", path=("params", "dual")) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(
+        params,
+        import_dual_encoder(state, text_layers, vision_layers, distilled,
+                            vision_pooling),
+        path,
+    )
+
+
 # ---------------------------------------------------------------------------
 # torchvision ResNet (reference image_only.py:59-60 loads a local .pth)
 # ---------------------------------------------------------------------------
