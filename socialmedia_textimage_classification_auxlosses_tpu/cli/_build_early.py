@@ -84,6 +84,9 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         px0 = jnp.zeros((2, geo["image_size"], geo["image_size"], 3), jnp.float32)
         params = init_vilt_params(model, jax.random.PRNGKey(args.seed),
                                   ids0, ids0, ids0, px0)
+        from ..models import hf_import as H
+
+        params = H.maybe_import_vilt(params, model_dir, layers)
         mean, std = IMAGE_NORM["vilt"]
         dtype = jnp.dtype(args.dtype)
 
@@ -127,6 +130,10 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         b0 = jnp.zeros((2, roi_cache.num_boxes, 4), jnp.float32)
         params = init_lxmert_params(model, jax.random.PRNGKey(args.seed),
                                     ids0, ids0, ids0, f0, b0)
+        from ..models import hf_import as H
+
+        params = H.maybe_import_lxmert(params, model_dir, lx_cfg.l_layers,
+                                       lx_cfg.r_layers, lx_cfg.x_layers)
 
         def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
             rngs = None if deterministic else {"dropout": dropout_rng}

@@ -212,6 +212,143 @@ def maybe_import_vision_tower(params: dict, model_dir: str, num_layers: int,
     )
 
 
+def _bert_layer(state, p):
+    """BERT-naming transformer block -> our EncoderLayer subtree."""
+    return {
+        "attention": {
+            "query": _dense(state, f"{p}.attention.self.query"),
+            "key": _dense(state, f"{p}.attention.self.key"),
+            "value": _dense(state, f"{p}.attention.self.value"),
+            "out": _dense(state, f"{p}.attention.output.dense"),
+        },
+        "ln_attn": _ln(state, f"{p}.attention.output.LayerNorm"),
+        "mlp": {
+            "mlp_in": _dense(state, f"{p}.intermediate.dense"),
+            "mlp_out": _dense(state, f"{p}.output.dense"),
+        },
+        "ln_mlp": _ln(state, f"{p}.output.LayerNorm"),
+    }
+
+
+def import_vilt(state: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """HF ViltModel state dict -> our ViltBackbone tree."""
+    state = strip_prefix(state)
+    proj_w = state["embeddings.patch_embeddings.projection.weight"]
+    tree: dict = {
+        "text_embeddings": {
+            "word": _emb(state, "embeddings.text_embeddings.word_embeddings"),
+            "position": _emb(state, "embeddings.text_embeddings.position_embeddings"),
+            "token_type": _emb(state, "embeddings.text_embeddings.token_type_embeddings"),
+            "ln": _ln(state, "embeddings.text_embeddings.LayerNorm"),
+        },
+        "patch_proj": {
+            "kernel": np.transpose(proj_w, (2, 3, 1, 0)).copy(),
+            "bias": state["embeddings.patch_embeddings.projection.bias"].copy(),
+        },
+        "image_cls": state["embeddings.cls_token"].copy(),
+        "image_pos": state["embeddings.position_embeddings"].copy(),
+        "modality_type": _emb(state, "embeddings.token_type_embeddings"),
+        "encoder": {},
+        "ln_final": _ln(state, "layernorm"),
+        "pooler": {"dense": _dense(state, "pooler.dense")},
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        tree["encoder"][f"layer_{i}"] = {
+            "attention": {
+                "query": _dense(state, f"{p}.attention.attention.query"),
+                "key": _dense(state, f"{p}.attention.attention.key"),
+                "value": _dense(state, f"{p}.attention.attention.value"),
+                "out": _dense(state, f"{p}.attention.output.dense"),
+            },
+            "ln_attn": _ln(state, f"{p}.layernorm_before"),
+            "mlp": {
+                "mlp_in": _dense(state, f"{p}.intermediate.dense"),
+                "mlp_out": _dense(state, f"{p}.output.dense"),
+            },
+            "ln_mlp": _ln(state, f"{p}.layernorm_after"),
+        }
+    return tree
+
+
+def import_lxmert(state: Dict[str, np.ndarray], l_layers: int, r_layers: int,
+                  x_layers: int) -> dict:
+    """HF LxmertModel state dict -> our LxmertBackbone tree."""
+    state = strip_prefix(state)
+    tree: dict = {
+        "embeddings": {
+            "word": _emb(state, "embeddings.word_embeddings"),
+            "position": _emb(state, "embeddings.position_embeddings"),
+            "token_type": _emb(state, "embeddings.token_type_embeddings"),
+            "ln": _ln(state, "embeddings.LayerNorm"),
+        },
+        "visual_embeddings": {
+            "feat_proj": _dense(state, "encoder.visn_fc.visn_fc"),
+            "feat_ln": _ln(state, "encoder.visn_fc.visn_layer_norm"),
+            "pos_proj": _dense(state, "encoder.visn_fc.box_fc"),
+            "pos_ln": _ln(state, "encoder.visn_fc.box_layer_norm"),
+        },
+    }
+    for i in range(l_layers):
+        tree[f"lang_layer_{i}"] = _bert_layer(state, f"encoder.layer.{i}")
+    for i in range(r_layers):
+        tree[f"vis_layer_{i}"] = _bert_layer(state, f"encoder.r_layers.{i}")
+    for i in range(x_layers):
+        p = f"encoder.x_layers.{i}"
+        tree[f"x_layer_{i}"] = {
+            "cross_attention": {
+                "query": _dense(state, f"{p}.visual_attention.att.query"),
+                "key": _dense(state, f"{p}.visual_attention.att.key"),
+                "value": _dense(state, f"{p}.visual_attention.att.value"),
+                "out": _dense(state, f"{p}.visual_attention.output.dense"),
+            },
+            "ln_cross": _ln(state, f"{p}.visual_attention.output.LayerNorm"),
+            "lang_self": {
+                "query": _dense(state, f"{p}.lang_self_att.self.query"),
+                "key": _dense(state, f"{p}.lang_self_att.self.key"),
+                "value": _dense(state, f"{p}.lang_self_att.self.value"),
+                "out": _dense(state, f"{p}.lang_self_att.output.dense"),
+            },
+            "ln_self_l": _ln(state, f"{p}.lang_self_att.output.LayerNorm"),
+            "vis_self": {
+                "query": _dense(state, f"{p}.visn_self_att.self.query"),
+                "key": _dense(state, f"{p}.visn_self_att.self.key"),
+                "value": _dense(state, f"{p}.visn_self_att.self.value"),
+                "out": _dense(state, f"{p}.visn_self_att.output.dense"),
+            },
+            "ln_self_v": _ln(state, f"{p}.visn_self_att.output.LayerNorm"),
+            "lang_mlp": {
+                "mlp_in": _dense(state, f"{p}.lang_inter.dense"),
+                "mlp_out": _dense(state, f"{p}.lang_output.dense"),
+            },
+            "ln_mlp_l": _ln(state, f"{p}.lang_output.LayerNorm"),
+            "vis_mlp": {
+                "mlp_in": _dense(state, f"{p}.visn_inter.dense"),
+                "mlp_out": _dense(state, f"{p}.visn_output.dense"),
+            },
+            "ln_mlp_v": _ln(state, f"{p}.visn_output.LayerNorm"),
+        }
+    return tree
+
+
+def maybe_import_vilt(params: dict, model_dir: str, num_layers: int,
+                      path=("params", "backbone")) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(params, import_vilt(state, num_layers), path)
+
+
+def maybe_import_lxmert(params: dict, model_dir: str, l_layers: int,
+                        r_layers: int, x_layers: int,
+                        path=("params", "backbone")) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(params, import_lxmert(state, l_layers, r_layers, x_layers),
+                       path)
+
+
 def import_dual_encoder(state: Dict[str, np.ndarray], text_layers: int,
                         vision_layers: int, distilled=False,
                         vision_pooling="tanh") -> dict:

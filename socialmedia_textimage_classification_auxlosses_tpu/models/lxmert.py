@@ -64,9 +64,11 @@ class CrossModalityLayer(nn.Module):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name=name)
         cross = Attention(cfg, name="cross_attention")
-        # bidirectional cross-attention with shared weights (LXMERT design)
-        lang2 = ln("ln_cross_l")(lang + cross(lang, vis, vis_mask, deterministic))
-        vis2 = ln("ln_cross_v")(vis + cross(vis, lang, lang_mask, deterministic))
+        # bidirectional cross-attention with shared weights, INCLUDING the
+        # output LayerNorm (LXMERT applies one BertAttOutput both ways)
+        ln_cross = ln("ln_cross")
+        lang2 = ln_cross(lang + cross(lang, vis, vis_mask, deterministic))
+        vis2 = ln_cross(vis + cross(vis, lang, lang_mask, deterministic))
         # modality-private self-attention
         lang_self = Attention(cfg, name="lang_self")
         vis_self = Attention(cfg, name="vis_self")
