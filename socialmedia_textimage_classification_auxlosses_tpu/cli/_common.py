@@ -72,6 +72,8 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="log training metrics every N steps")
     parser.add_argument("--image_size", type=int, default=None,
                         help="override the model's input image size")
+    parser.add_argument("--log_jsonl", type=str, default=None,
+                        help="append structured per-step/epoch records to this JSONL file")
     return parser
 
 

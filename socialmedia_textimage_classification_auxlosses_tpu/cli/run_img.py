@@ -58,7 +58,7 @@ def main(argv=None):
         seed=args.seed, mesh_plan=setup.mesh_plan, checkpointer=ckpt,
         multilabel=cfg.multilabel, num_labels=cfg.num_labels,
         metric_names=C.metric_names, log_every=args.log_every,
-        profile_dir=args.profile,
+        profile_dir=args.profile, log_jsonl=args.log_jsonl,
     )
 
     logger.info("Training")

@@ -63,111 +63,116 @@ def sdpa_reference(
 
 
 def _probs(q, k, mask, scale):
+    """q: (H, Lq, D), k: (H, Lk, D), mask: (1, Lk) -> P: (H, Lq, Lk).
+
+    One head-batched MXU contraction instead of per-head matmuls. Matmul
+    inputs stay in their native dtype (bf16 on the training path — full MXU
+    rate); softmax statistics accumulate in f32.
+    """
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s = jnp.where(mask > 0, s, _NEG_INF)
+    s = jnp.where(mask[None, :, :] > 0, s, _NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    """One (batch*head) attention problem, fully in VMEM. Only the output
-    leaves the chip — no (Lq, Lk) score/probability tensor ever touches HBM
-    (the backward kernel recomputes it, flash-attention style)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """One batch element's attention across ALL heads, fully in VMEM. Only
+    the output leaves the chip — no (H, Lq, Lk) score/probability tensor ever
+    touches HBM (the backward kernel recomputes it, flash-attention style).
+    Head-batched contractions keep the MXU on large tiles; a per-(batch,head)
+    grid measured ~15% slower end-to-end at these shapes."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     p = _probs(q, k, mask_ref[0], scale)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, scale):
-    """Backward for one (batch*head): recompute P in VMEM, then
+    """Backward for one batch element (all heads): recompute P in VMEM, then
     dV = P^T dO; dS = P ∘ (dO V^T - rowsum); dQ = dS K scale; dK = dS^T Q
     scale. All intermediates stay on-chip."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     p = _probs(q, k, mask_ref[0], scale)
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    pc = p.astype(do.dtype)
+    dv = jax.lax.dot_general(  # (H, Lk, D) = P^T (H, Lq, Lk) @ dO (H, Lq, D)
+        pc, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    dp = jax.lax.dot_general(  # (H, Lq, Lk) = dO @ V^T
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    dsc = ds.astype(k.dtype)
+    dq = jax.lax.dot_general(  # (H, Lq, D) = dS @ K
+        dsc, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(  # (H, Lk, D) = dS^T @ Q
+        dsc, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bh_spec(l, d):
-    return pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-
-def _mask_flat(key_mask, b, h, lk):
-    return jnp.repeat(key_mask.astype(jnp.int32)[:, None, :], h, axis=1).reshape(
-        b * h, 1, lk
-    )
+def _b_spec(h, l, d):
+    return pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _pallas_fwd(q, k, v, key_mask, scale, interpret):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    mask = key_mask.astype(jnp.int32)[:, None, :]  # (B, 1, Lk)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[
-            _bh_spec(lq, d),
-            _bh_spec(lk, d),
-            _bh_spec(lk, d),
+            _b_spec(h, lq, d),
+            _b_spec(h, lk, d),
+            _b_spec(h, lk, d),
             pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=_bh_spec(lq, d),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        out_specs=_b_spec(h, lq, d),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         interpret=interpret,
-    )(q.reshape(b * h, lq, d), k.reshape(b * h, lk, d), v.reshape(b * h, lk, d),
-      _mask_flat(key_mask, b, h, lk))
-    return out.reshape(b, h, lq, d)
+    )(q, k, v, mask)
+    return out
 
 
 def _pallas_bwd(q, k, v, key_mask, do, scale, interpret):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    mask = key_mask.astype(jnp.int32)[:, None, :]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[
-            _bh_spec(lq, d),
-            _bh_spec(lk, d),
-            _bh_spec(lk, d),
+            _b_spec(h, lq, d),
+            _b_spec(h, lk, d),
+            _b_spec(h, lk, d),
             pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _bh_spec(lq, d),
+            _b_spec(h, lq, d),
         ],
-        out_specs=(_bh_spec(lq, d), _bh_spec(lk, d), _bh_spec(lk, d)),
+        out_specs=(_b_spec(h, lq, d), _b_spec(h, lk, d), _b_spec(h, lk, d)),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, lk, d), v.dtype),
         ),
         interpret=interpret,
-    )(
-        q.reshape(b * h, lq, d),
-        k.reshape(b * h, lk, d),
-        v.reshape(b * h, lk, d),
-        _mask_flat(key_mask, b, h, lk),
-        do.reshape(b * h, lq, d),
-    )
-    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+    )(q, k, v, mask, do)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -202,11 +207,21 @@ def sdpa(
     scale: Optional[float] = None,
     impl: str = "auto",
 ) -> jax.Array:
-    """Fused SDPA. ``impl``: "auto" | "pallas" | "pallas_interpret" | "jnp"."""
+    """Fused SDPA. ``impl``: "auto" | "pallas" | "pallas_interpret" | "jnp".
+
+    ``auto`` resolves to the XLA path: at this framework's sequence lengths
+    (<=224 tokens) the whole attention fits XLA's fusion windows, and the
+    measured end-to-end training throughput on a v5e chip is XLA 270 vs
+    Pallas 254 posts/s (the Pallas call is a fusion barrier for the
+    surrounding projections, which costs more than its HBM savings buy).
+    The Pallas kernels stay first-class and opt-in (``--attn_impl pallas``):
+    they win when the score tensor stops fitting XLA's fusion budget —
+    longer sequences or larger per-step batches.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        impl = "jnp"
     if impl == "jnp":
         return sdpa_reference(q, k, v, key_mask, scale)
     if key_mask is None:

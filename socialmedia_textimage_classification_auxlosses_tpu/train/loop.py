@@ -45,6 +45,7 @@ class Trainer:
         metric_names: Optional[List[str]] = None,
         log_every: int = 10,
         profile_dir: Optional[str] = None,
+        log_jsonl: Optional[str] = None,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -59,8 +60,17 @@ class Trainer:
         self.metric_names = metric_names or []
         self.log_every = log_every
         self.profile_dir = profile_dir
+        self.log_jsonl = log_jsonl
         self.global_step = 0
         self.start_epoch = 0
+
+    def _write_jsonl(self, record: Dict):
+        if not self.log_jsonl:
+            return
+        import json
+
+        with open(self.log_jsonl, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # -- resume -------------------------------------------------------------
 
@@ -120,6 +130,12 @@ class Trainer:
                             "step %d loss %.4f acc %.2f%%",
                             self.global_step, m["loss"], acc,
                         )
+                        self._write_jsonl(
+                            {"kind": "train", "step": self.global_step,
+                             "epoch": epoch, "accuracy": acc,
+                             **{k: v for k, v in m.items()
+                                if k not in ("correct", "n")}}
+                        )
                     if self.checkpointer is not None:
                         self.checkpointer.maybe_save(
                             self.global_step,
@@ -133,6 +149,10 @@ class Trainer:
                 logger.info(
                     "epoch %d: %.1fs, %.2f steps/s, %.1f posts/s",
                     epoch + 1, dt, nb / dt, seen / dt,
+                )
+                self._write_jsonl(
+                    {"kind": "epoch", "epoch": epoch, "seconds": dt,
+                     "steps_per_sec": nb / dt, "posts_per_sec": seen / dt}
                 )
 
                 res_val_d = self.evaluate(val_pipe)
