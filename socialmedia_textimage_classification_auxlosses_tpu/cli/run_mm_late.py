@@ -48,6 +48,10 @@ def parse_args(argv=None):
     parser.add_argument("--eval_txt_test", action="store_true", help="eval txt test")
     parser.add_argument("--load_saved_model", action="store_true",
                         help="load saved model")
+    parser.add_argument("--extract_features", action="store_true",
+                        help="dump fused mm_features for the test split "
+                             "(reference MMLate_Model.extract_features, "
+                             "mm_late.py:703-739)")
     add_common_args(parser, multimodal=True)
     return parser.parse_args(argv)
 
@@ -104,6 +108,15 @@ def main(argv=None):
             path = results_dir + stem + "preds.csv"
             save_predictions_csv(predictions, path)
             logger.info("%s saved", path)
+        if args.extract_features:
+            import numpy as np
+
+            res = trainer.evaluate(setup.pipes["test"], collect_features=True,
+                                   feature_step=setup.feature_step)
+            np.savez(results_dir + stem + "features.npz",
+                     features=res["features"], labels=res["labels"],
+                     data_id=res["data_id"])
+            logger.info("%s saved", results_dir + stem + "features.npz")
         if args.eval_txt_test:
             logger.info("Evaluate and compute metrics (txt test)")
             predictions = trainer.evaluate(_txt_test_pipe(args, cfg, setup))

@@ -154,6 +154,45 @@ class SplitPipeline:
             yield pending
 
 
+class MMBTBatcher:
+    """MMBT-style samples (reference ``MMBT_Dataset``, datasets.py:356-402):
+    sentence token ids with the [CLS]/[SEP] ids split off as image start/end
+    tokens, plus the torchvision-normalized image. The reference declares the
+    dataset but ships no MMBT model or runner (only ``results_dir_mmbt``,
+    config.py:135) — this batcher provides the data-side parity so an MMBT
+    head can be attached later.
+    """
+
+    def __init__(self, split: SplitArrays, tokenizer, image_source,
+                 batch_size: int, max_length: int):
+        enc = tokenizer(list(split.text))
+        self.ids = enc["ids"]
+        self.mask = enc["mask"]
+        self.split = split
+        self.image_source = image_source
+        self.batch_size = batch_size
+        self.max_length = max_length
+
+    def batches(self):
+        n = len(self.split)
+        for start in range(0, n, self.batch_size):
+            idx = np.arange(start, min(start + self.batch_size, n))
+            ids = self.ids[idx]
+            yield {
+                "image_start_token": ids[:, 0],
+                "image_end_token": np.asarray(
+                    [row[row.nonzero()][-1] if row.any() else 0 for row in self.mask[idx] * ids]
+                ),
+                "sentence": ids[:, 1:],
+                "sentence_mask": self.mask[idx][:, 1:],
+                "image": self.image_source.gather(
+                    [self.split.ids[i] for i in idx]
+                ),
+                "label": self.split.labels[idx],
+                "data_id": self.split.ids_num[idx],
+            }
+
+
 def make_image_source(
     img_fmt: str,
     ids=None,

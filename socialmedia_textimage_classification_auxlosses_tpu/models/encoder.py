@@ -48,6 +48,11 @@ class EncoderConfig:
     dtype: str = "float32"
     attn_impl: str = "auto"
     remat: bool = False
+    # lax.scan over layers: one traced layer instead of an unrolled stack —
+    # ~L-times smaller HLO (faster compiles) and the layout future pipeline
+    # parallelism needs (SURVEY.md section 2.3). Param layout gains a leading
+    # layer axis, so HF weight import targets the unscanned layout.
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -126,11 +131,33 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class _ScanBody(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, key_mask, deterministic):
+        layer_cls = EncoderLayer
+        if self.cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        x = layer_cls(self.cfg, name="layer")(x, key_mask, deterministic)
+        return x, None
+
+
 class TransformerStack(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
     def __call__(self, x, key_mask=None, deterministic=True):
+        if self.cfg.scan_layers:
+            scan = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.cfg.layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )
+            x, _ = scan(self.cfg, name="layers")(x, key_mask, deterministic)
+            return x
         layer_cls = EncoderLayer
         if self.cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
