@@ -48,6 +48,9 @@ def parse_args(argv=None):
     parser.add_argument("--eval_txt_test", action="store_true", help="eval txt test")
     parser.add_argument("--load_saved_model", action="store_true",
                         help="load saved model")
+    parser.add_argument("--import_reference_ckpt", type=str, default=None,
+                        help="path to a reference-trained MM_Model .pth "
+                             "state dict to import (torch.save format)")
     parser.add_argument("--extract_features", action="store_true",
                         help="dump fused mm_features for the test split "
                              "(reference MMLate_Model.extract_features, "
@@ -73,6 +76,17 @@ def main(argv=None):
     cfg.use_iadds_loss = args.use_iadds_loss
     cfg.beta_iadds = args.beta_iadds if args.use_iadds_loss else None
     setup = build_mm_late_setup(args, cfg)
+
+    if args.import_reference_ckpt:
+        from ..models import hf_import as Himp
+
+        setup.params = Himp.maybe_import_reference_mm_late(
+            setup.params, args.import_reference_ckpt,
+            setup.model.text_cfg.layers, setup.model.vision_cfg.layers,
+            args.fusion_name,
+        )
+        setup.opt_state = setup.tx.init(setup.params)
+        logger.info("imported reference checkpoint %s", args.import_reference_ckpt)
 
     loss_str = cfg.loss_str
     nsamples_str = "" if args.nsamples == -1 else "N" + str(args.nsamples) + "_"

@@ -107,6 +107,7 @@ class MMLateModel(nn.Module):
     num_prefix_tokens: int = 1
     vision_pooling: str = "tanh"
     use_token_types: bool = True
+    projection_dim: int = 512  # HF VisionTextDualEncoder default
 
     def setup(self):
         self.dual = DualEncoder(
@@ -116,6 +117,7 @@ class MMLateModel(nn.Module):
             image_size=self.image_size,
             num_prefix_tokens=self.num_prefix_tokens,
             vision_pooling=self.vision_pooling,
+            projection_dim=self.projection_dim,
             name="dual",
         )
         self.fusion = FusionHead(

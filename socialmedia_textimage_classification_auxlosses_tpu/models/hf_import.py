@@ -384,6 +384,63 @@ def maybe_import_dual_encoder(params: dict, model_dir: str, text_layers: int,
 
 
 # ---------------------------------------------------------------------------
+# Reference MM_Model checkpoints (mm_late.py:50-89 + torch.save at :529-531)
+# ---------------------------------------------------------------------------
+
+
+def import_reference_mm_late(state: Dict[str, np.ndarray], text_layers: int,
+                             vision_layers: int, fusion_name: str = "attention",
+                             distilled=False, vision_pooling="tanh") -> dict:
+    """A reference-trained ``MM_Model`` state dict -> our MMLateModel params.
+
+    Reference param names (mm_late.py:59-89): ``dual_encoder.*`` (the HF
+    VisionTextDualEncoderModel), fusion projections ``fc_Q/fc_K/fc_V``,
+    ``linear_fusion``, ``aspectattention``, ``linear_gmu_t/v``, and heads
+    ``linear_cls``/``linear_tim``/``linear_iadds``. Lets a user of the
+    reference bring fine-tuned checkpoints straight into this framework.
+    """
+    dual_state = {k[len("dual_encoder."):]: v for k, v in state.items()
+                  if k.startswith("dual_encoder.")}
+    tree: dict = {
+        "dual": import_dual_encoder(dual_state, text_layers, vision_layers,
+                                    distilled, vision_pooling),
+        "linear_cls": _dense(state, "linear_cls"),
+        "linear_tim": _dense(state, "linear_tim"),
+        "linear_iadds": _dense(state, "linear_iadds"),
+    }
+    fusion: dict = {}
+    if fusion_name == "attention":
+        fusion["fc_q"] = _dense(state, "fc_Q")
+        fusion["fc_k"] = _dense(state, "fc_K")
+        fusion["fc_v"] = _dense(state, "fc_V")
+        fusion["linear_fusion"] = _dense(state, "linear_fusion")
+    elif fusion_name == "concat":
+        fusion["linear_fusion"] = _dense(state, "linear_fusion")
+    elif fusion_name == "aspect-att":
+        fusion["aspect_attention"] = _dense(state, "aspectattention")
+    elif fusion_name == "gmu":
+        fusion["gmu_t"] = _dense(state, "linear_gmu_t")
+        fusion["gmu_v"] = _dense(state, "linear_gmu_v")
+        fusion["linear_fusion"] = _dense(state, "linear_fusion")
+    tree["fusion"] = fusion
+    return tree
+
+
+def maybe_import_reference_mm_late(params: dict, ckpt_path: str,
+                                   text_layers: int, vision_layers: int,
+                                   fusion_name: str, **kw) -> dict:
+    state = load_torch_file(ckpt_path)
+    if state is None:
+        return params
+    return merge_tower(
+        params,
+        import_reference_mm_late(state, text_layers, vision_layers,
+                                 fusion_name, **kw),
+        path=("params",),
+    )
+
+
+# ---------------------------------------------------------------------------
 # torchvision ResNet (reference image_only.py:59-60 loads a local .pth)
 # ---------------------------------------------------------------------------
 
