@@ -125,6 +125,7 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
     model_name = args.model_name
     model_dir = C.MODEL_DIR_DICT.get(model_name)
     overrides = arch_overrides(args)
+    overrides["scan_layers"] = getattr(args, "scan_layers", False)
     enc_cfg = text_encoder_config(
         model_name, model_dir, dtype=args.dtype, attn_impl=args.attn_impl,
         remat=getattr(args, "remat", False), **overrides,
@@ -151,8 +152,9 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
     ids0 = jnp.zeros((2, cfg.max_length), jnp.int32)
     params = model.init(jax.random.PRNGKey(args.seed), ids0, ids0,
                         ids0 if use_tt else None)
-    params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
-                                       path=("params", "tower"))
+    if not overrides["scan_layers"]:
+        params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
+                                           path=("params", "tower"))
 
     def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
         rngs = None if deterministic else {"dropout": dropout_rng}
@@ -188,6 +190,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     model_name = args.model_name
     model_dir = C.MODEL_DIR_DICT.get(model_name)
     overrides = arch_overrides(args)
+    overrides["scan_layers"] = getattr(args, "scan_layers", False)
     is_cnn = model_name in CNN_MODELS
 
     if is_cnn:
@@ -231,12 +234,13 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         geo = vit_geometry(model_name, model_dir)
         enc_cfg = vision_encoder_config(model_name, model_dir, dtype=args.dtype,
                                         **overrides)
-        params = H.maybe_import_vision_tower(
-            params, model_dir, enc_cfg.layers,
-            distilled=(model_name == "deit"),
-            pooling=("mean" if model_name == "beit" else "tanh"),
-            path=("params", "tower"),
-        )
+        if not overrides["scan_layers"]:
+            params = H.maybe_import_vision_tower(
+                params, model_dir, enc_cfg.layers,
+                distilled=(model_name == "deit"),
+                pooling=("mean" if model_name == "beit" else "tanh"),
+                path=("params", "tower"),
+            )
 
     mean, std = norm
     dtype = jnp.dtype(args.dtype)
@@ -285,6 +289,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     txt_dir = C.MODEL_DIR_DICT.get(txt_name)
     img_dir = C.MODEL_DIR_DICT.get(img_name)
     overrides = arch_overrides(args)
+    overrides["scan_layers"] = getattr(args, "scan_layers", False)
     is_cnn = img_name in CNN_MODELS
 
     text_cfg = text_encoder_config(
@@ -343,14 +348,15 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     else:
         params = init_mm_late_params(model, jax.random.PRNGKey(args.seed),
                                      ids0, ids0, px0, tt0)
-        params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
-                                           path=("params", "dual", "text"))
-        params = H.maybe_import_vision_tower(
-            params, img_dir, vis_cfg.layers,
-            distilled=(img_name == "deit"),
-            pooling=("mean" if img_name == "beit" else "tanh"),
-            path=("params", "dual", "vision"),
-        )
+        if not overrides["scan_layers"]:
+            params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
+                                               path=("params", "dual", "text"))
+            params = H.maybe_import_vision_tower(
+                params, img_dir, vis_cfg.layers,
+                distilled=(img_name == "deit"),
+                pooling=("mean" if img_name == "beit" else "tanh"),
+                path=("params", "dual", "vision"),
+            )
         frozen = vision_frozen_predicate  # reference mm_late.py:67-69
 
     mean, std = norm

@@ -76,6 +76,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             type_vocab=2, ln_style="pre", dropout=0.1,
             dtype=args.dtype, attn_impl=args.attn_impl,
             remat=getattr(args, "remat", False),
+            scan_layers=getattr(args, "scan_layers", False),
         )
         model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
                                image_size=geo["image_size"], dropout=cfg.dropout)
@@ -86,7 +87,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
                                   ids0, ids0, ids0, px0)
         from ..models import hf_import as H
 
-        params = H.maybe_import_vilt(params, model_dir, layers)
+        if not getattr(args, "scan_layers", False):
+            params = H.maybe_import_vilt(params, model_dir, layers)
         mean, std = IMAGE_NORM["vilt"]
         dtype = jnp.dtype(args.dtype)
 

@@ -62,6 +62,10 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="architecture size preset (tiny/small for smoke runs)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialise encoder layers")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="lax.scan over encoder layers (smaller HLO / "
+                             "faster compiles; random-init only — stacked "
+                             "param layout is not weight-import compatible)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest Orbax checkpoint")
     parser.add_argument("--ckpt_every", type=int, default=0,
