@@ -235,12 +235,16 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         enc_cfg = vision_encoder_config(model_name, model_dir, dtype=args.dtype,
                                         **overrides)
         if not overrides["scan_layers"]:
-            params = H.maybe_import_vision_tower(
-                params, model_dir, enc_cfg.layers,
-                distilled=(model_name == "deit"),
-                pooling=("mean" if model_name == "beit" else "tanh"),
-                path=("params", "tower"),
-            )
+            if model_name == "beit":
+                params = H.maybe_import_beit_tower(params, model_dir,
+                                                   enc_cfg.layers,
+                                                   path=("params", "tower"))
+            else:
+                params = H.maybe_import_vision_tower(
+                    params, model_dir, enc_cfg.layers,
+                    distilled=(model_name == "deit"),
+                    path=("params", "tower"),
+                )
 
     mean, std = norm
     dtype = jnp.dtype(args.dtype)
@@ -320,7 +324,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
             text_cfg, vis_cfg, cfg.num_labels, fusion_name=args.fusion_name,
             dropout=cfg.dropout, patch=geo["patch"], image_size=image_size,
             num_prefix_tokens=geo["num_prefix_tokens"],
-            vision_pooling=("mean" if img_name == "beit" else "tanh"),
+            vision_arch=("beit" if img_name == "beit" else "vit"),
         )
 
     if data_splits is None:
@@ -351,12 +355,16 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         if not overrides["scan_layers"]:
             params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
                                                path=("params", "dual", "text"))
-            params = H.maybe_import_vision_tower(
-                params, img_dir, vis_cfg.layers,
-                distilled=(img_name == "deit"),
-                pooling=("mean" if img_name == "beit" else "tanh"),
-                path=("params", "dual", "vision"),
-            )
+            if img_name == "beit":
+                params = H.maybe_import_beit_tower(
+                    params, img_dir, vis_cfg.layers,
+                    path=("params", "dual", "vision"))
+            else:
+                params = H.maybe_import_vision_tower(
+                    params, img_dir, vis_cfg.layers,
+                    distilled=(img_name == "deit"),
+                    path=("params", "dual", "vision"),
+                )
         frozen = vision_frozen_predicate  # reference mm_late.py:67-69
 
     mean, std = norm

@@ -28,19 +28,28 @@ class DualEncoder(nn.Module):
     image_size: int = 224
     num_prefix_tokens: int = 1
     vision_pooling: str = "tanh"
+    vision_arch: str = "vit"  # "vit" (ViT/DEiT topology) or "beit"
     projection_dim: int = 512
     logit_scale_init: float = 2.6592
 
     def setup(self):
         self.text_tower = BertEncoder(self.text_cfg, name="text")
-        self.vision_tower = ViTEncoder(
-            self.vision_cfg,
-            patch=self.patch,
-            image_size=self.image_size,
-            num_prefix_tokens=self.num_prefix_tokens,
-            pooling=self.vision_pooling,
-            name="vision",
-        )
+        if self.vision_arch == "beit":
+            from .beit import BeitEncoder
+
+            self.vision_tower = BeitEncoder(
+                self.vision_cfg, patch=self.patch, image_size=self.image_size,
+                name="vision",
+            )
+        else:
+            self.vision_tower = ViTEncoder(
+                self.vision_cfg,
+                patch=self.patch,
+                image_size=self.image_size,
+                num_prefix_tokens=self.num_prefix_tokens,
+                pooling=self.vision_pooling,
+                name="vision",
+            )
         self.text_projection = nn.Dense(
             self.projection_dim, use_bias=False, dtype=jnp.float32, name="text_proj"
         )

@@ -106,6 +106,7 @@ class MMLateModel(nn.Module):
     image_size: int = 224
     num_prefix_tokens: int = 1
     vision_pooling: str = "tanh"
+    vision_arch: str = "vit"
     use_token_types: bool = True
     projection_dim: int = 512  # HF VisionTextDualEncoder default
 
@@ -117,6 +118,7 @@ class MMLateModel(nn.Module):
             image_size=self.image_size,
             num_prefix_tokens=self.num_prefix_tokens,
             vision_pooling=self.vision_pooling,
+            vision_arch=self.vision_arch,
             projection_dim=self.projection_dim,
             name="dual",
         )

@@ -165,6 +165,53 @@ def import_vit_tower(state: Dict[str, np.ndarray], num_layers: int,
     return tree
 
 
+def import_beit_tower(state: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """HF BeitModel state dict -> our BeitEncoder tree (true BEiT: per-layer
+    relative position bias, layer-scale lambdas, no key bias, mean-pool
+    LayerNorm pooler)."""
+    state = strip_prefix(state)
+    proj_w = state["embeddings.patch_embeddings.projection.weight"]
+    tree: dict = {
+        "cls_token": state["embeddings.cls_token"].copy(),
+        "proj": {
+            "kernel": np.transpose(proj_w, (2, 3, 1, 0)).copy(),
+            "bias": state["embeddings.patch_embeddings.projection.bias"].copy(),
+        },
+        "pool_ln": _ln(state, "pooler.layernorm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        att = f"{p}.attention.attention"
+        tree[f"layer_{i}"] = {
+            "lambda_1": state[f"{p}.lambda_1"].copy(),
+            "lambda_2": state[f"{p}.lambda_2"].copy(),
+            "attention": {
+                "query": _dense(state, f"{att}.query"),
+                "key": _dense_nobias(state, f"{att}.key"),
+                "value": _dense(state, f"{att}.value"),
+                "out": _dense(state, f"{p}.attention.output.dense"),
+                "rel_pos_table": state[
+                    f"{att}.relative_position_bias.relative_position_bias_table"
+                ].copy(),
+            },
+            "ln_attn": _ln(state, f"{p}.layernorm_before"),
+            "mlp": {
+                "mlp_in": _dense(state, f"{p}.intermediate.dense"),
+                "mlp_out": _dense(state, f"{p}.output.dense"),
+            },
+            "ln_mlp": _ln(state, f"{p}.layernorm_after"),
+        }
+    return tree
+
+
+def maybe_import_beit_tower(params: dict, model_dir: str, num_layers: int,
+                            path=("params", "tower")) -> dict:
+    state = load_state_dict(model_dir)
+    if state is None:
+        return params
+    return merge_tower(params, import_beit_tower(state, num_layers), path)
+
+
 def merge_tower(params: dict, tower_tree: dict, path=("tower",)) -> dict:
     """Graft an imported tower subtree into an initialised param tree,
     checking shapes leaf-by-leaf."""

@@ -89,8 +89,28 @@ def vit_geometry(model_name: str, model_dir: Optional[str] = None) -> dict:
     return geo
 
 
+class BeitClassifier(nn.Module):
+    """True-BEiT tower + linear head over the mean-pool pooled output
+    (reference image_only.py:30-40)."""
+
+    cfg: EncoderConfig
+    num_labels: int
+    patch: int = 16
+    image_size: int = 224
+
+    @nn.compact
+    def __call__(self, pixel_values, deterministic=True):
+        from .beit import BeitEncoder
+
+        _, pooled = BeitEncoder(self.cfg, patch=self.patch,
+                                image_size=self.image_size, name="tower")(
+            pixel_values, deterministic)
+        return nn.Dense(self.num_labels, dtype=jnp.float32, name="classifier")(
+            pooled.astype(jnp.float32))
+
+
 class VisionClassifier(nn.Module):
-    """ViT/BEiT/DEiT tower + head; returns logits."""
+    """ViT/DEiT tower + head; returns logits."""
 
     cfg: EncoderConfig
     num_labels: int
@@ -134,6 +154,9 @@ def build_vision_classifier(
         **overrides,
     )
     geo = vit_geometry(model_name, model_dir)
+    if model_name == "beit":
+        return BeitClassifier(cfg, num_labels, patch=geo["patch"],
+                              image_size=geo["image_size"])
     return VisionClassifier(
         cfg,
         num_labels,
