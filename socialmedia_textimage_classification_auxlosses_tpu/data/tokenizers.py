@@ -107,12 +107,37 @@ class RustTokenizer:
 
 def _try_rust_backend(model_dir: str, max_length: int, use_token_types: bool):
     try:
-        import tokenizers
-    except ImportError:
+        return _rust_backend(model_dir, max_length, use_token_types)
+    except Exception:
         return None
+
+
+def _ensure_bert_postprocessor(tok):
+    """Attach a [CLS] ... [SEP] template when the serialized tokenizer has no
+    post-processor (real HF tokenizer.json files include one; tokenizers-lib
+    BertWordPieceTokenizer does not)."""
+    if tok.post_processor is not None:
+        return tok
+    cls_id, sep_id = tok.token_to_id("[CLS]"), tok.token_to_id("[SEP]")
+    if cls_id is None or sep_id is None:
+        return tok
+    from tokenizers.processors import TemplateProcessing
+
+    tok.post_processor = TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B:1 [SEP]:1",
+        special_tokens=[("[CLS]", cls_id), ("[SEP]", sep_id)],
+    )
+    return tok
+
+
+def _rust_backend(model_dir: str, max_length: int, use_token_types: bool):
+    import tokenizers
+
     tj = os.path.join(model_dir, "tokenizer.json")
     if os.path.isfile(tj):
         tok = tokenizers.Tokenizer.from_file(tj)
+        tok = _ensure_bert_postprocessor(tok)
         pad_id = tok.token_to_id("[PAD]")
         if pad_id is None:
             pad_id = tok.token_to_id("<pad>") or 0
@@ -122,7 +147,8 @@ def _try_rust_backend(model_dir: str, max_length: int, use_token_types: bool):
         from tokenizers import BertWordPieceTokenizer
 
         tok = BertWordPieceTokenizer(vt, lowercase=True)
-        return RustTokenizer(tok._tokenizer, max_length, use_token_types,
+        inner = _ensure_bert_postprocessor(tok._tokenizer)
+        return RustTokenizer(inner, max_length, use_token_types,
                              tok.token_to_id("[PAD]") or 0)
     vj = os.path.join(model_dir, "vocab.json")
     mg = os.path.join(model_dir, "merges.txt")
