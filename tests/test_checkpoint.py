@@ -56,6 +56,24 @@ def test_orbax_checkpoint_restore(tmp_path, rng):
     ckpt.close()
 
 
+def test_cli_resume_from_orbax(task3):
+    """--ckpt_every + --resume: the second invocation restores step/epoch and
+    continues instead of restarting (mid-training resume, absent in the
+    reference — SURVEY.md section 5)."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_txt
+
+    base = ["--model_name", "bert", "--task", "3", "--arch", "tiny",
+            "--dtype", "float32", "--attn_impl", "jnp", "--log_every", "1",
+            "--ckpt_every", "1"]
+    run_txt.main(base + ["--epochs", "1"])
+    ckpt_dir = C.results_dir_txt + "bert_task3_seed30_ckpt"
+    assert os.path.isdir(ckpt_dir)
+    # resume with more epochs: must pick up from the saved step
+    run_txt.main(base + ["--epochs", "2", "--resume"])
+    df = pd.read_csv(C.results_dir_txt + "bert_task3_seed30_metrics_val.csv")
+    assert "epoch-2" in df.columns
+
+
 def test_run_is_deterministic_under_seed(task3):
     """Same seed -> bit-identical metrics CSV across two full CLI runs
     (threaded PRNG keys, SURVEY.md section 5 deterministic-RNG tests)."""
