@@ -110,15 +110,13 @@ def _maybe_tim(cfg: LossConfig, rng, batch):
     return {"ids": tim_ids, "mask": tim_mask, "token_type_ids": tim_tt}, tim_labels
 
 
-def make_train_step(
+def make_train_step_fn(
     forward_fn: Callable,
     loss_cfg: LossConfig,
     tx: optax.GradientTransformation,
     class_weights=None,
-    donate: bool = True,
 ):
-    """forward_fn(params, batch, tim_inputs, dropout_rng, deterministic)
-    -> outputs dict."""
+    """Unjitted step body — vmappable (see train/ensemble.py) and jittable."""
 
     def step(params, opt_state, batch, rng):
         rng_drop, rng_itm = jax.random.split(rng)
@@ -138,14 +136,26 @@ def make_train_step(
         metrics = {**parts, "correct": correct, "n": n}
         return params, opt_state, metrics
 
+    return step
+
+
+def make_train_step(
+    forward_fn: Callable,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    class_weights=None,
+    donate: bool = True,
+):
+    """forward_fn(params, batch, tim_inputs, dropout_rng, deterministic)
+    -> outputs dict."""
+    step = make_train_step_fn(forward_fn, loss_cfg, tx, class_weights)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(forward_fn: Callable, loss_cfg: LossConfig, class_weights=None):
-    """Eval step: deterministic forward (ITM swap still stochastic, as in the
-    reference's eval, mm_late.py:565-568), loss, predictions, and on-device
-    confusion accumulation."""
+def make_eval_step_fn(forward_fn: Callable, loss_cfg: LossConfig,
+                      class_weights=None):
+    """Unjitted eval body — vmappable and jittable."""
 
     def step(params, batch, rng):
         tim_inputs, tim_labels = _maybe_tim(loss_cfg, rng, batch)
@@ -168,7 +178,14 @@ def make_eval_step(forward_fn: Callable, loss_cfg: LossConfig, class_weights=Non
             "n": n,
         }
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(forward_fn: Callable, loss_cfg: LossConfig, class_weights=None):
+    """Eval step: deterministic forward (ITM swap still stochastic, as in the
+    reference's eval, mm_late.py:565-568), loss, predictions, and on-device
+    confusion accumulation."""
+    return jax.jit(make_eval_step_fn(forward_fn, loss_cfg, class_weights))
 
 
 def make_feature_step(forward_fn: Callable):
