@@ -26,7 +26,7 @@ from ..models import hf_import as H
 from ..models.fusion import MMCnnModel, MMLateModel, init_mm_late_params
 from ..models.text import NO_TOKEN_TYPES, build_text_classifier, text_encoder_config
 from ..models.vision import (
-    CNN_MODELS, IMAGE_NORM, VisionClassifier, build_vision_classifier,
+    CNN_MODELS, IMAGE_NORM, build_vision_classifier,
     vision_encoder_config, vit_geometry,
 )
 from ..parallel.mesh import MeshPlan, make_mesh_plan
@@ -119,7 +119,6 @@ def _make_pipes(cfg, splits, tokenizer, image_source_fn=None, pipe_cfg=None,
 
 
 def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Setup:
-    from .. import cli  # noqa: F401
     from ._common import arch_overrides
 
     model_name = args.model_name

@@ -4,8 +4,6 @@ mm_early.py:175-260)."""
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +11,7 @@ import numpy as np
 from ..core import config as C
 from ..data.cache import RoiFeatureCache
 from ..data.images import normalize_on_device
-from ..data.pipeline import PipelineConfig, SplitPipeline, make_image_source
+from ..data.pipeline import PipelineConfig, make_image_source
 from ..data.prep import prepare_data
 from ..data.tokenizers import build_tokenizer
 from ..models.lxmert import LxmertClassifier, LxmertConfig, init_lxmert_params
@@ -21,8 +19,6 @@ from ..models.text import _load_hf_config
 from ..models.vilt import ViltClassifier, init_vilt_params
 from ..models.encoder import EncoderConfig
 from ..models.vision import IMAGE_NORM
-from ..train.optim import make_optimizer
-from ..train.steps import make_eval_step, make_feature_step, make_train_step
 from ..utils.logging import get_logger
 from ._build import Setup, _loss_cfg_from, _finish, _make_pipes, make_mesh
 from ._common import arch_overrides

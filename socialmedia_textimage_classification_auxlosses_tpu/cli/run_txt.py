@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-
 from ..core import config as C
-from ..train.checkpoint import TrainCheckpointer, load_params
+from ..train.checkpoint import TrainCheckpointer
 from ..train.loop import Trainer
 from ..train.metrics import compute_metrics
 from ..utils.logging import get_logger

@@ -12,11 +12,10 @@ forward, effectively free next to the patch-embedding conv.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from .normalize import TweetNormalizer  # noqa: F401  (re-export convenience)
 
 
 def open_image(path_fmt: str, data_id, empty_image: Optional[str] = None,

@@ -14,7 +14,7 @@ Everything returns numpy; device placement happens later in the batcher.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -24,9 +24,8 @@ with the family's special-token layout (BERT: [CLS] x [SEP]; RoBERTa-likes:
 
 from __future__ import annotations
 
-import hashlib
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import sdpa_reference
 from .encoder import EncoderConfig, Mlp
 
 

@@ -13,8 +13,6 @@ module stays a pure function.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -29,8 +29,6 @@ SURVEY.md section 7 "reference bugs to resolve deliberately".
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

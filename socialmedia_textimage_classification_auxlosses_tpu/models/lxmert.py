@@ -17,7 +17,6 @@ and max-pool over vision outputs (mm_early.py:138-143); learnable logit_scale
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,6 @@ HF checkpoints line up exactly.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional

@@ -16,8 +16,6 @@ covers the full grid. Text max_length stays 40 (reference config.py:57-58).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -18,7 +18,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 from flax import serialization
 
 from ..utils.logging import get_logger

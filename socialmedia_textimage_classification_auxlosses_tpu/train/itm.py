@@ -11,7 +11,7 @@ jitted train step (SURVEY.md section 7 "ITM inside jit").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ paper's analysis consumes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ all-gather collectives (gradient reduction, global-batch ITC) over ICI.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
