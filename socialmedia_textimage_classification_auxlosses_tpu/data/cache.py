@@ -48,17 +48,29 @@ class ImageCache:
     def build(self, ids: Sequence, img_fmt: str, empty_image: Optional[str] = None,
               center_crop_from: Optional[int] = None, on_missing: str = "zeros"):
         """Resumable bulk build (reference obj_features resumability via
-        done_ids dir scans, obj_features.py:58-60)."""
+        done_ids dir scans, obj_features.py:58-60). Ids already cached are
+        kept; new ids extend the cache (splits share one cache dir)."""
         os.makedirs(self.cache_dir, exist_ok=True)
         ids = [str(x) for x in ids]
         if self.index and all(i in self.index for i in ids):
             return self
-        n = len(ids)
+        old_index = dict(self.index)
+        old_pixels = np.array(self.pixels) if old_index else None
+        old_valid = self.valid if self.valid is not None else np.zeros(0, bool)
+        self._pixels = None
+        new_ids = [i for i in ids if i not in old_index]
+        all_ids = list(old_index.keys()) + new_ids
+        n = len(all_ids)
         pixels = np.lib.format.open_memmap(
-            self.pixels_path, mode="w+", dtype=np.uint8, shape=(n, self.size, self.size, 3)
+            self.pixels_path, mode="w+", dtype=np.uint8,
+            shape=(n, self.size, self.size, 3),
         )
         valid = np.zeros(n, bool)
-        for row, data_id in enumerate(ids):
+        if old_pixels is not None:
+            pixels[: len(old_index)] = old_pixels
+            valid[: len(old_index)] = old_valid[: len(old_index)]
+        for k, data_id in enumerate(new_ids):
+            row = len(old_index) + k
             try:
                 pixels[row] = load_pixels_u8(
                     img_fmt, data_id, size=self.size, empty_image=empty_image,
@@ -69,10 +81,10 @@ class ImageCache:
                 if on_missing == "error":
                     raise
                 logger.info("failed id %s", data_id)
-            if row % 500 == 0:
-                logger.info("image cache %d/%d", row, n)
+            if k % 500 == 0:
+                logger.info("image cache %d/%d", k, len(new_ids))
         pixels.flush()
-        self.index = {data_id: row for row, data_id in enumerate(ids)}
+        self.index = {data_id: row for row, data_id in enumerate(all_ids)}
         self.valid = valid
         with open(self.meta_path, "w") as f:
             json.dump({"index": self.index, "size": self.size,

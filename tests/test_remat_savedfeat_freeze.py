@@ -1,0 +1,96 @@
+"""Remaining flag paths: --remat (identical forward), --use_saved_features
+(disk uint8 cache), --freeze (text tower frozen)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+from socialmedia_textimage_classification_auxlosses_tpu.models.encoder import (
+    BertEncoder, EncoderConfig,
+)
+
+from fixtures import make_task_fixture, patch_task
+
+FAST = ["--arch", "tiny", "--dtype", "float32", "--attn_impl", "jnp",
+        "--epochs", "1", "--log_every", "1"]
+
+
+def test_remat_forward_matches(rng):
+    base = dict(vocab_size=40, hidden=16, layers=2, heads=2, mlp_dim=32,
+                max_positions=12, type_vocab=1, dropout=0.0)
+    plain = BertEncoder(EncoderConfig(**base))
+    remat = BertEncoder(EncoderConfig(remat=True, **base))
+    ids = jnp.array(rng.randint(0, 40, (2, 8)))
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = plain.init(jax.random.PRNGKey(0), ids, mask)
+    h1, p1 = plain.apply(params, ids, mask)
+    h2, p2 = remat.apply(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+    # gradients must match too (remat trades memory, not math)
+    def loss(m):
+        def f(p):
+            h, _ = m.apply(p, ids, mask)
+            return jnp.sum(h * h)
+        return f
+    g1 = jax.grad(loss(plain))(params)
+    g2 = jax.grad(loss(remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.fixture
+def task3(tmp_path, monkeypatch):
+    csv_path, img_fmt, _ = make_task_fixture(tmp_path / "data", task=3)
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "results")
+    monkeypatch.setattr(C, "DATA_PATH", str(tmp_path / "cache_root") + "/")
+    os.makedirs(str(tmp_path / "cache_root"), exist_ok=True)
+    return tmp_path
+
+
+def test_use_saved_features_builds_disk_cache(task3):
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    run_mm_late.main([
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "concat", "--task", "3", "--use_saved_features",
+    ] + FAST)
+    cache_dir = C.DATA_PATH + "cache/mvsa_u8_224"
+    assert os.path.isfile(os.path.join(cache_dir, "pixels.npy"))
+    # second run must reuse the cache (mtime unchanged)
+    mtime = os.path.getmtime(os.path.join(cache_dir, "pixels.npy"))
+    run_mm_late.main([
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "concat", "--task", "3", "--use_saved_features",
+    ] + FAST)
+    assert os.path.getmtime(os.path.join(cache_dir, "pixels.npy")) == mtime
+
+
+def test_run_txt_freeze_keeps_tower_fixed(task3):
+    import argparse
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_text_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli.run_txt import parse_args
+
+    args = parse_args(["--model_name", "bert", "--task", "3"] + FAST)
+    cfg = C.Config(args, multimodal=False, txt=True)
+    setup = build_text_setup(args, cfg, freeze=True)
+    batch = jax.device_put(next(setup.pipes["train"].batches()))
+    # snapshot to host BEFORE the step (the jitted step donates its inputs)
+    before = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(setup.params["params"]["tower"])]
+    head_before = np.asarray(setup.params["params"]["classifier"]["kernel"])
+    p2, _, _ = setup.train_step(setup.params, setup.opt_state, batch,
+                                jax.random.PRNGKey(0))
+    after = jax.tree_util.tree_leaves(p2["params"]["tower"])
+    for a, b in zip(before, after):
+        assert np.array_equal(a, np.asarray(b))
+    # the classification head must still move
+    assert not np.array_equal(head_before,
+                              np.asarray(p2["params"]["classifier"]["kernel"]))
