@@ -26,6 +26,9 @@ def parse_args(argv=None):
     parser.add_argument("--model", type=str, choices=["vilt", "lxmert"],
                         help="model name")
     parser.add_argument("--evaltest", action="store_true", help="eval test")
+    parser.add_argument("--import_reference_ckpt", type=str, default=None,
+                        help="path to a reference-trained ViLT/Lxmert wrapper "
+                             ".pth state dict to import")
     add_common_args(parser, multimodal=True)
     return parser.parse_args(argv)
 
@@ -44,6 +47,24 @@ def main(argv=None):
 
     cfg = C.Config(args, model_name=model_name)
     setup = build_mm_early_setup(args, cfg)
+
+    if args.import_reference_ckpt:
+        from ..models import hf_import as Himp
+
+        state = Himp.load_torch_file(args.import_reference_ckpt)
+        if state is not None:
+            if model_name == "vilt":
+                tree = Himp.import_reference_vilt(state, setup.model.cfg.layers)
+            else:
+                lx = setup.model.cfg
+                tree = Himp.import_reference_lxmert(state, lx.l_layers,
+                                                    lx.r_layers, lx.x_layers)
+            merged = Himp.merge_tower({"root": setup.params["params"]}, tree,
+                                      path=("root",))
+            setup.params = {"params": merged["root"]}
+            setup.opt_state = setup.tx.init(setup.params)
+            logger.info("imported reference checkpoint %s",
+                        args.import_reference_ckpt)
 
     loss_str = cfg.loss_str
     stem = f"{model_name}_task{args.task}_seed{args.seed}_{loss_str}_"

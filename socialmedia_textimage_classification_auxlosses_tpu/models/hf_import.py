@@ -473,6 +473,37 @@ def import_reference_mm_late(state: Dict[str, np.ndarray], text_layers: int,
     return tree
 
 
+def import_reference_vilt(state: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """A reference-trained ``ViLT`` wrapper state dict (mm_early.py:48-58:
+    ``model.*`` = HF ViltModel, plus ``linear``/``linear_tim``/``logit_scale``
+    heads; the declared-but-unused text/visual projections are skipped) ->
+    our ViltClassifier params."""
+    backbone_state = {k[len("model."):]: v for k, v in state.items()
+                      if k.startswith("model.")}
+    return {
+        "backbone": import_vilt(backbone_state, num_layers),
+        "linear": _dense(state, "linear"),
+        "linear_tim": _dense(state, "linear_tim"),
+        "logit_scale": np.asarray(state["logit_scale"], np.float32).reshape(()),
+    }
+
+
+def import_reference_lxmert(state: Dict[str, np.ndarray], l_layers: int,
+                            r_layers: int, x_layers: int) -> dict:
+    """A reference-trained ``Lxmert`` wrapper state dict (mm_early.py:105-119:
+    ``model.*`` = HF LxmertModel + ``linear_fusion``/``linear``/``linear_tim``
+    /``logit_scale``) -> our LxmertClassifier params."""
+    backbone_state = {k[len("model."):]: v for k, v in state.items()
+                      if k.startswith("model.")}
+    return {
+        "backbone": import_lxmert(backbone_state, l_layers, r_layers, x_layers),
+        "linear_fusion": _dense(state, "linear_fusion"),
+        "linear": _dense(state, "linear"),
+        "linear_tim": _dense(state, "linear_tim"),
+        "logit_scale": np.asarray(state["logit_scale"], np.float32).reshape(()),
+    }
+
+
 def maybe_import_reference_mm_late(params: dict, ckpt_path: str,
                                    text_layers: int, vision_layers: int,
                                    fusion_name: str, **kw) -> dict:
