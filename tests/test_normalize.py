@@ -96,6 +96,21 @@ def test_parity_with_reference_normalizer():
             "email me at foo.bar+1@example.co.uk or call 555-123-4567",
             "<b>bold</b> claim -> see <-- arrows <3 :-P",
             "100,000 people 3.5/5 stars 12:30 p. m. start",
+            # trickier corpus: hashtag underscores/dashes, stacked entities,
+            # cased URLs, handles at EOL, nested parens URLs, lengthened
+            # punctuation runs, numeric entities, mixed quotes
+            "#black_lives_matter #covid-19 response @WHO",
+            # (no emoji-producing entities here: this env's reference lacks
+            # the emoji package, while ours demojizes built-in)
+            "&#8220;quoted&#8221; &gt; &lt; end",
+            "HTTPS://EXAMPLE.COM/PATH and http://a.b/c(d(e)f)g end",
+            "final mention goes to @last_user",
+            "soooo goooood!!!!!!!!!! ........ ?!?!?!",
+            "w/ 50% off (terms&conditions apply) - 'quotes' \"here\"",
+            "mid-sentence hyphen-ated words re-up o'clock don'ts",
+            "1-800-555-0199 is toll-free, +1 555 123 4567 intl",
+            "u.s.a. vs U.K. at 3 a. m . sharp",
+            ":) :( ;-) :-D =D 8-) >:( <3 </3",
         ]
         # Reference env has no emoji package, so single-char emoji pass
         # through there; every case above is emoji-free.
