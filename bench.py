@@ -76,7 +76,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     return steps / dt, float(metrics["loss"])
 
 
-def measure_torch_baseline(steps: int = 3):
+def measure_torch_baseline(steps: int = 10):
     """Reference per-step compute at identical shapes: HF dual encoder
     (frozen vision), full second dual pass for TIM (reference
     mm_late.py:168-182), fusion SDPA over all text queries

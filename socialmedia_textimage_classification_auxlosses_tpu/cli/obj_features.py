@@ -34,13 +34,22 @@ logger = get_logger(__name__)
 
 
 def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
-                          batch_size: int = 16, image_size: int = 224):
+                          batch_size: int = 16, image_size: int = 224,
+                          weight_path: str = None):
     """ResNet trunk -> (N, grid*grid, 2048) pseudo-ROI features +
-    normalized grid boxes."""
+    normalized grid boxes.
+
+    Trunk weights load from ``weight_path`` (default:
+    ``MODEL_DIR_DICT['resnet50']``, a torchvision ``.pth``/state-dict dir —
+    the reference's detector trunk is likewise pretrained,
+    obj_features.py:142-173). Without weights the features are noise; the
+    fallback stays usable for smoke tests but WARNS loudly.
+    """
     import jax
     import jax.numpy as jnp
 
     from ..data.images import normalize_on_device
+    from ..models import hf_import as H
     from ..models.resnet import ResNet
     from ..models.vision import IMAGE_NORM
 
@@ -50,6 +59,21 @@ def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
     model = ResNet(stage_sizes, num_labels=2)
     px0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), px0, train=False)
+    if not tiny:  # tiny stage sizes can't host resnet50 weights
+        if weight_path is None:
+            weight_path = C.MODEL_DIR_DICT.get("resnet50", "")
+        imported = H.maybe_import_resnet(params, weight_path, "resnet50")
+        if imported is params:
+            logger.warning(
+                "extract_grid_features: no pretrained trunk weights at %r — "
+                "grid features will come from a RANDOM-INIT ResNet and are "
+                "effectively noise. Provide MODEL_DIR_DICT['resnet50'] "
+                "(torchvision resnet50 state dict) or reference FRCNN dumps "
+                "for real LXMERT runs.", weight_path)
+        else:
+            params = imported
+            logger.info("grid-feature trunk: imported weights from %s",
+                        weight_path)
     mean, std = IMAGE_NORM["imagenet"]
 
     @jax.jit

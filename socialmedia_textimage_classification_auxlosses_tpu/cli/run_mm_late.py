@@ -56,7 +56,18 @@ def parse_args(argv=None):
                              "(reference MMLate_Model.extract_features, "
                              "mm_late.py:703-739)")
     add_common_args(parser, multimodal=True)
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.img_model_name in ("resnet50", "resnet152") and (
+            args.use_clip_loss or args.use_tim_loss):
+        # MMCnnModel has no dual-encoder projections, so there are no
+        # logits_per_text / out_tim outputs to build ITC/ITM on (the
+        # reference likewise cannot run this combination — its CNN-fusion
+        # registry names are undefined, mm_late.py:42-47). Fail here with a
+        # clear message instead of a KeyError inside the jitted loss.
+        parser.error("--use_clip_loss/--use_tim_loss require a transformer "
+                     "image tower (vit/beit/deit); the CNN fusion model has "
+                     "no image-text projection heads")
+    return args
 
 
 def main(argv=None):
@@ -107,6 +118,7 @@ def main(argv=None):
         multilabel=cfg.multilabel, num_labels=cfg.num_labels,
         metric_names=C.metric_names, log_every=args.log_every,
         profile_dir=args.profile, log_jsonl=args.log_jsonl,
+        resume=args.resume,
     )
 
     if not args.load_saved_model:

@@ -59,9 +59,8 @@ def main(argv=None):
         multilabel=cfg.multilabel, num_labels=cfg.num_labels,
         metric_names=C.metric_names, log_every=args.log_every,
         profile_dir=args.profile, log_jsonl=args.log_jsonl,
+        resume=args.resume,
     )
-    if args.resume and ckpt is not None:
-        trainer.maybe_resume()
 
     logger.info("Training")
     trainer.fit(

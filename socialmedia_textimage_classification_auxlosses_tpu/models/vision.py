@@ -10,9 +10,9 @@
 * ``resnet50`` / ``resnet152`` — flax ResNet with a fresh fc head
   (reference image_only.py:54-88), see ``resnet.py``.
 
-Note: this round's ``beit`` is a ViT-topology stand-in with BEiT pooling
-semantics (the reference only consumes ``pooler_output``); BEiT's relative
-position bias / layer-scale are tracked for a later round in ARCHITECTURE.md.
+``beit`` is the true BEiT architecture (relative position bias, layer scale,
+no key bias — ``models/beit.py``, imported below); its pooled output is the
+layer-normed mean of patch tokens, matching HF's BeitPooler.
 """
 
 from __future__ import annotations

@@ -46,6 +46,7 @@ class Trainer:
         log_every: int = 10,
         profile_dir: Optional[str] = None,
         log_jsonl: Optional[str] = None,
+        resume: bool = False,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -61,6 +62,7 @@ class Trainer:
         self.log_every = log_every
         self.profile_dir = profile_dir
         self.log_jsonl = log_jsonl
+        self.resume = resume
         self.global_step = 0
         self.start_epoch = 0
 
@@ -100,7 +102,11 @@ class Trainer:
     ):
         import pandas as pd
 
-        self.maybe_resume()
+        # Restore only on explicit opt-in: the reference never auto-resumes
+        # (mm_late.py:343-345 is an explicit load), so a rerun into a results
+        # dir holding stale checkpoints must start from step 0.
+        if self.resume:
+            self.maybe_resume()
         res_val: List[Dict] = []
         res_te: List[Dict] = []
         if self.profile_dir:
