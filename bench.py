@@ -30,13 +30,14 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
 
-def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16"):
+def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
+                 opt_impl: str = "lazy_emb"):
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as G
     from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
-        make_optimizer, vision_frozen_predicate,
+        any_of, make_optimizer, vision_frozen_predicate,
     )
     from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
         LossConfig, make_train_step,
@@ -47,21 +48,38 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
                                        seq_len=SEQ, image_size=IMG,
                                        num_labels=NUM_LABELS)
 
-    def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+    def forward_fn(p, b, tim_inputs, dropout_rng, deterministic,
+                   word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
         return model.apply(
             p, b["ids"], b["mask"], b["pixel_values"],
             tim_ids=None if tim_inputs is None else tim_inputs["ids"],
             tim_mask=None if tim_inputs is None else tim_inputs["mask"],
             deterministic=deterministic, rngs=rngs,
+            word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
         )
 
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
                           use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
-    tx = make_optimizer(1e-5, 2.5e-4, vision_frozen_predicate)
+    lazy_cfg = None
+    frozen = vision_frozen_predicate
+    if opt_impl == "lazy_emb":
+        from socialmedia_textimage_classification_auxlosses_tpu.train.lazy_emb import (
+            LazyEmbConfig, find_word_embedding_path, init_lazy_state,
+            lazy_emb_predicate,
+        )
+
+        lazy_cfg = LazyEmbConfig(path=find_word_embedding_path(params),
+                                 lr=1e-5, weight_decay=2.5e-4)
+        frozen = any_of(frozen, lazy_emb_predicate(lazy_cfg))
+    tx = make_optimizer(1e-5, 2.5e-4, frozen)
     opt_state = tx.init(params)
+    if lazy_cfg is not None:
+        opt_state = {"tx": opt_state,
+                     "lazy_emb": init_lazy_state(params, lazy_cfg)}
     step = make_train_step(forward_fn, loss_cfg, tx,
-                           class_weights=jnp.ones(NUM_LABELS))
+                           class_weights=jnp.ones(NUM_LABELS),
+                           lazy_emb_cfg=lazy_cfg)
 
     key = jax.random.PRNGKey(0)
     # warmup / compile
@@ -162,6 +180,12 @@ def main():
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--measure_baseline", action="store_true")
     parser.add_argument("--attn_impl", default=os.environ.get("SMTC_BENCH_ATTN", "auto"))
+    parser.add_argument("--opt_impl", default=os.environ.get("SMTC_BENCH_OPT", "lazy_emb"),
+                        choices=["exact", "lazy_emb"],
+                        help="lazy_emb = row-sparse embedding AdamW (the "
+                             "TPU-native default; loss-equivalence tested in "
+                             "tests/test_lazy_emb.py). exact = dense AdamW "
+                             "(reference parity mode)")
     args = parser.parse_args()
 
     baseline = None
@@ -180,10 +204,12 @@ def main():
             json.dump(baseline, f, indent=1)
 
     try:
-        steps_per_sec, loss = measure_ours(args.steps, attn_impl=args.attn_impl)
+        steps_per_sec, loss = measure_ours(args.steps, attn_impl=args.attn_impl,
+                                           opt_impl=args.opt_impl)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
-        steps_per_sec, loss = measure_ours(args.steps, attn_impl="jnp")
+        steps_per_sec, loss = measure_ours(args.steps, attn_impl="jnp",
+                                           opt_impl=args.opt_impl)
 
     posts_per_sec = steps_per_sec * BATCH
     print(json.dumps({

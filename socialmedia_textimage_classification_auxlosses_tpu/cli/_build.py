@@ -80,19 +80,40 @@ def _loss_cfg_from(cfg: C.Config) -> LossConfig:
 def _finish(setup_kwargs, args, cfg, frozen_pred=None):
     """Optimizer, steps, sharding."""
     loss_cfg = setup_kwargs["loss_cfg"]
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred)
     params = setup_kwargs["params"]
+
+    lazy_cfg = None
+    if getattr(args, "opt_impl", "exact") == "lazy_emb":
+        from ..train.lazy_emb import (LazyEmbConfig, find_word_embedding_path,
+                                      init_lazy_state, lazy_emb_predicate)
+
+        path = find_word_embedding_path(params)
+        if path is None:
+            logger.warning("--opt_impl lazy_emb: no unique word-embedding "
+                           "leaf in this model; using exact AdamW")
+        else:
+            lazy_cfg = LazyEmbConfig(path=path, lr=cfg.lr,
+                                     weight_decay=cfg.weight_decay)
+            frozen_pred = (any_of(frozen_pred, lazy_emb_predicate(lazy_cfg))
+                           if frozen_pred else lazy_emb_predicate(lazy_cfg))
+            logger.info("lazy embedding AdamW on %s", "/".join(path))
+
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred)
     mesh_plan = setup_kwargs["mesh_plan"]
     if mesh_plan is not None:
         params = mesh_plan.shard_params(params)
     opt_state = tx.init(params)
+    if lazy_cfg is not None:
+        opt_state = {"tx": opt_state,
+                     "lazy_emb": init_lazy_state(params, lazy_cfg)}
     cw = setup_kwargs["class_weights"]
     fwd = setup_kwargs["forward_fn"]
     setup_kwargs.update(
         params=params,
         tx=tx,
         opt_state=opt_state,
-        train_step=make_train_step(fwd, loss_cfg, tx, class_weights=cw),
+        train_step=make_train_step(fwd, loss_cfg, tx, class_weights=cw,
+                                   lazy_emb_cfg=lazy_cfg),
         eval_step=make_eval_step(fwd, loss_cfg, class_weights=cw),
         feature_step=make_feature_step(fwd),
     )
@@ -155,11 +176,12 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
                                            path=("params", "tower"))
 
-    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
+                   word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
         logits = model.apply(
             p, batch["ids"], batch["mask"], batch.get("token_type_ids"),
-            deterministic=deterministic, rngs=rngs,
+            deterministic=deterministic, rngs=rngs, word_embeds=word_embeds,
         )
         return {"out_cls": logits}
 
@@ -248,15 +270,21 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     mean, std = norm
     dtype = jnp.dtype(args.dtype)
 
+    # torch train-mode BN updates running stats during fine-tuning
+    # (reference image_only.py:54-88); --feature_extract keeps them frozen
+    # (the trunk is excluded from the optimizer anyway).
+    train_bn = is_cnn and not getattr(args, "feature_extract", False)
+
     def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
         rngs = None if deterministic else {"dropout": dropout_rng}
         pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
         if is_cnn:
-            # BatchNorm in inference mode: the frozen-stats fine-tuning
-            # variant; full BN training support comes with mutable state.
-            logits = model.apply(p, pixels, train=False)
-        else:
-            logits = model.apply(p, pixels, deterministic=deterministic, rngs=rngs)
+            if deterministic or not train_bn:
+                return {"out_cls": model.apply(p, pixels, train=False)}
+            logits, upd = model.apply(p, pixels, train=True,
+                                      mutable=["batch_stats"])
+            return {"out_cls": logits, "batch_stats": upd["batch_stats"]}
+        logits = model.apply(p, pixels, deterministic=deterministic, rngs=rngs)
         return {"out_cls": logits}
 
     def image_source_fn(split):
@@ -369,13 +397,22 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     mean, std = norm
     dtype = jnp.dtype(args.dtype)
 
-    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+    def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
+                   word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
         pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
         if is_cnn:
-            return model.apply(p, batch["ids"], batch["mask"], pixels,
-                               batch.get("token_type_ids"),
-                               deterministic=deterministic, rngs=rngs)
+            if deterministic:
+                return model.apply(p, batch["ids"], batch["mask"], pixels,
+                                   batch.get("token_type_ids"),
+                                   deterministic=True)
+            out, upd = model.apply(p, batch["ids"], batch["mask"], pixels,
+                                   batch.get("token_type_ids"),
+                                   deterministic=False, rngs=rngs, train=True,
+                                   mutable=["batch_stats"],
+                                   word_embeds=word_embeds)
+            out["batch_stats"] = upd["batch_stats"]
+            return out
         return model.apply(
             p, batch["ids"], batch["mask"], pixels, batch.get("token_type_ids"),
             tim_ids=None if tim_inputs is None else tim_inputs["ids"],
@@ -383,6 +420,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
             tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
             iadds_task=cfg.use_iadds_loss,
             deterministic=deterministic, rngs=rngs,
+            word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
         )
 
     def image_source_fn(split):

@@ -66,6 +66,15 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="lax.scan over encoder layers (smaller HLO / "
                              "faster compiles; random-init only — stacked "
                              "param layout is not weight-import compatible)")
+    parser.add_argument("--opt_impl", type=str, default="exact",
+                        choices=["exact", "lazy_emb"],
+                        help="optimizer implementation: 'exact' is dense "
+                             "AdamW (reference parity, utils.py:280-292); "
+                             "'lazy_emb' updates only the embedding rows in "
+                             "the batch (row-sparse AdamW — same math for "
+                             "touched rows, skips decay on untouched rows; "
+                             "removes the weight-HBM bottleneck at small "
+                             "batch, train/lazy_emb.py)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest Orbax checkpoint")
     parser.add_argument("--ckpt_every", type=int, default=0,

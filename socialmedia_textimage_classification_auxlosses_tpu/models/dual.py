@@ -59,8 +59,9 @@ class DualEncoder(nn.Module):
         )
 
     def encode_text(self, ids, attention_mask=None, token_type_ids=None,
-                    deterministic=True):
-        return self.text_tower(ids, attention_mask, token_type_ids, deterministic)
+                    deterministic=True, word_embeds=None):
+        return self.text_tower(ids, attention_mask, token_type_ids,
+                               deterministic, word_embeds=word_embeds)
 
     def encode_vision(self, pixel_values, deterministic=True):
         return self.vision_tower(pixel_values, deterministic)

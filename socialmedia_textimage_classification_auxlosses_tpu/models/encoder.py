@@ -183,9 +183,18 @@ class TextEmbeddings(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, ids, token_type_ids=None, attention_mask=None, deterministic=True):
+    def __call__(self, ids, token_type_ids=None, attention_mask=None,
+                 deterministic=True, word_embeds=None):
         cfg = self.cfg
-        emb = nn.Embed(cfg.vocab_size, cfg.hidden, dtype=cfg.jdtype, name="word")(ids)
+        if word_embeds is None:
+            emb = nn.Embed(cfg.vocab_size, cfg.hidden, dtype=cfg.jdtype,
+                           name="word")(ids)
+        else:
+            # Pre-gathered word embeddings (row-sparse optimizer path,
+            # train/lazy_emb.py): the table is never read here, so its dense
+            # gradient scatter-add never materialises. ``ids`` still drives
+            # the position ids below.
+            emb = word_embeds.astype(cfg.jdtype)
         if cfg.pos_offset:
             # RoBERTa-family: positions count non-pad tokens, offset past pad id.
             mask = (ids != cfg.pad_token_id).astype(jnp.int32)
@@ -215,12 +224,14 @@ class BertEncoder(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, ids, attention_mask=None, token_type_ids=None, deterministic=True):
+    def __call__(self, ids, attention_mask=None, token_type_ids=None,
+                 deterministic=True, word_embeds=None):
         cfg = self.cfg
         if attention_mask is None:
             attention_mask = jnp.ones_like(ids)
         x = TextEmbeddings(cfg, name="embeddings")(
-            ids, token_type_ids, attention_mask, deterministic
+            ids, token_type_ids, attention_mask, deterministic,
+            word_embeds=word_embeds,
         )
         x = TransformerStack(cfg, name="encoder")(x, attention_mask, deterministic)
         pooled = Pooler(cfg, name="pooler")(x)

@@ -131,7 +131,8 @@ class MMLateModel(nn.Module):
 
     def __call__(self, ids, attention_mask, pixel_values, token_type_ids=None,
                  tim_ids=None, tim_mask=None, tim_token_type_ids=None,
-                 iadds_task=False, deterministic=True):
+                 iadds_task=False, deterministic=True, word_embeds=None,
+                 tim_word_embeds=None):
         b = ids.shape[0]
         use_tim = tim_ids is not None
         if use_tim:
@@ -146,8 +147,11 @@ class MMLateModel(nn.Module):
                 token_type_ids = jnp.concatenate(
                     [token_type_ids, tim_token_type_ids], 0
                 )
+            if word_embeds is not None:
+                word_embeds = jnp.concatenate([word_embeds, tim_word_embeds], 0)
         text_hidden, text_pooled = self.dual.encode_text(
-            ids, attention_mask, token_type_ids, deterministic
+            ids, attention_mask, token_type_ids, deterministic,
+            word_embeds=word_embeds,
         )
         vision_hidden, vision_pooled = self.dual.encode_vision(
             pixel_values, deterministic
@@ -220,9 +224,10 @@ class MMCnnModel(nn.Module):
         self.head_dropout = nn.Dropout(self.dropout)
 
     def __call__(self, ids, attention_mask, pixel_values, token_type_ids=None,
-                 deterministic=True, train=False):
+                 deterministic=True, train=False, word_embeds=None):
         text_hidden, text_pooled = self.text_tower(
-            ids, attention_mask, token_type_ids, deterministic
+            ids, attention_mask, token_type_ids, deterministic,
+            word_embeds=word_embeds,
         )
         _, fmap = self.trunk(pixel_values, train=train, return_features=True)
         b, fh, fw, c = fmap.shape

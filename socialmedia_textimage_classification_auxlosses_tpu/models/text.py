@@ -96,9 +96,11 @@ class TextClassifier(nn.Module):
     use_pooled: bool = False
 
     @nn.compact
-    def __call__(self, ids, attention_mask=None, token_type_ids=None, deterministic=True):
+    def __call__(self, ids, attention_mask=None, token_type_ids=None,
+                 deterministic=True, word_embeds=None):
         hidden, pooled = BertEncoder(self.cfg, name="tower")(
-            ids, attention_mask, token_type_ids, deterministic
+            ids, attention_mask, token_type_ids, deterministic,
+            word_embeds=word_embeds,
         )
         feat = pooled if self.use_pooled else hidden[:, 0, :]
         feat = nn.Dropout(self.head_dropout)(feat, deterministic=deterministic)

@@ -23,8 +23,11 @@ def itm_swap(
     mask: jax.Array,
     token_type_ids: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
+    return_src: bool = False,
 ):
-    """Returns (tim_ids, tim_mask, tim_token_type_ids, labels).
+    """Returns (tim_ids, tim_mask, tim_token_type_ids, labels) — plus the
+    row-source index ``src`` when ``return_src`` (so the row-sparse embedding
+    path can permute pre-gathered embeddings the same way, train/lazy_emb.py).
 
     * coin-flip per example whether to mismatch (labels: 1=match, 0=mismatch)
     * mismatched examples take the text of a uniformly-chosen *other* example
@@ -49,4 +52,6 @@ def itm_swap(
     tim_ids = jnp.take(ids, src, axis=0)
     tim_mask = jnp.take(mask, src, axis=0)
     tim_tt = None if token_type_ids is None else jnp.take(token_type_ids, src, axis=0)
+    if return_src:
+        return tim_ids, tim_mask, tim_tt, labels, src
     return tim_ids, tim_mask, tim_tt, labels

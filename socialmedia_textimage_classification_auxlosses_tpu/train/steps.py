@@ -102,11 +102,12 @@ def _accuracy_counts(cfg, preds, targets, valid):
 def _maybe_tim(cfg: LossConfig, rng, batch):
     if not cfg.use_tim_loss:
         return None, None
-    tim_ids, tim_mask, tim_tt, tim_labels = itm_swap(
+    tim_ids, tim_mask, tim_tt, tim_labels, src = itm_swap(
         rng, batch["ids"], batch["mask"], batch.get("token_type_ids"),
-        batch.get("valid"),
+        batch.get("valid"), return_src=True,
     )
-    return {"ids": tim_ids, "mask": tim_mask, "token_type_ids": tim_tt}, tim_labels
+    return {"ids": tim_ids, "mask": tim_mask, "token_type_ids": tim_tt,
+            "src": src}, tim_labels
 
 
 def make_train_step_fn(
@@ -114,12 +115,71 @@ def make_train_step_fn(
     loss_cfg: LossConfig,
     tx: optax.GradientTransformation,
     class_weights=None,
+    lazy_emb_cfg=None,
 ):
-    """Unjitted step body — vmappable (see train/ensemble.py) and jittable."""
+    """Unjitted step body — vmappable (see train/ensemble.py) and jittable.
+
+    ``lazy_emb_cfg`` (train/lazy_emb.LazyEmbConfig) switches the word
+    embedding to the row-sparse AdamW; the main ``tx`` must label that leaf
+    ``set_to_zero`` and ``opt_state`` gains a ``{"tx", "lazy_emb"}`` wrapper.
+    When ``forward_fn`` accepts ``word_embeds``/``tim_word_embeds`` the step
+    differentiates w.r.t. the *gathered rows* so the dense embedding-gradient
+    scatter-add never materialises (~6.8 ms/step on the flagship config,
+    BASELINE.md); otherwise it falls back to gathering from the dense grad.
+    """
+    supports_inject = False
+    if lazy_emb_cfg is not None:
+        import inspect
+
+        try:
+            supports_inject = "word_embeds" in inspect.signature(
+                forward_fn).parameters
+        except (TypeError, ValueError):
+            supports_inject = False
+
+    def _lazy_injected_step(params, opt_state, batch, rng_drop, tim_inputs,
+                            tim_labels):
+        from .lazy_emb import _get, _set, row_update, unique_ids
+
+        path = lazy_emb_cfg.path
+        emb = _get(params, path)
+        uids, inv = unique_ids(batch["ids"])
+        rows0 = emb[uids].astype(jnp.float32)
+        # placeholder keeps the pytree structure; the forward never reads it
+        p_small = _set(params, path, jnp.zeros((1,), emb.dtype))
+
+        def loss_fn(p_sm, rows):
+            we = rows[inv].reshape(batch["ids"].shape + (rows.shape[-1],))
+            tim_we = (None if tim_inputs is None
+                      else jnp.take(we, tim_inputs["src"], axis=0))
+            outputs = forward_fn(p_sm, batch, tim_inputs, rng_drop, False,
+                                 word_embeds=we, tim_word_embeds=tim_we)
+            total, parts = assemble_loss(loss_cfg, outputs, batch, tim_labels,
+                                         class_weights)
+            return total, (outputs, parts)
+
+        (_, (outputs, parts)), (g_sm, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(p_small, rows0)
+        tx_state, lazy_state = opt_state["tx"], opt_state["lazy_emb"]
+        updates, tx_state = tx.update(g_sm, tx_state, p_small)
+        p_small = optax.apply_updates(p_small, updates)
+        emb_new, lazy_state = row_update(emb, lazy_state, uids, g_rows,
+                                         lazy_emb_cfg)
+        params = _set(p_small, path, emb_new)
+        return params, {"tx": tx_state, "lazy_emb": lazy_state}, outputs, parts
 
     def step(params, opt_state, batch, rng):
         rng_drop, rng_itm = jax.random.split(rng)
         tim_inputs, tim_labels = _maybe_tim(loss_cfg, rng_itm, batch)
+
+        if supports_inject:
+            params, opt_state, outputs, parts = _lazy_injected_step(
+                params, opt_state, batch, rng_drop, tim_inputs, tim_labels)
+            preds, targets = _predictions(loss_cfg, outputs["out_cls"],
+                                          batch["labels"])
+            correct, n = _accuracy_counts(loss_cfg, preds, targets,
+                                          batch.get("valid"))
+            return params, opt_state, {**parts, "correct": correct, "n": n}
 
         def loss_fn(p):
             outputs = forward_fn(p, batch, tim_inputs, rng_drop, False)
@@ -128,8 +188,25 @@ def make_train_step_fn(
             return total, (outputs, parts)
 
         (_, (outputs, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if lazy_emb_cfg is not None:
+            from .lazy_emb import lazy_emb_update
+
+            tx_state, lazy_state = opt_state["tx"], opt_state["lazy_emb"]
+            updates, tx_state = tx.update(grads, tx_state, params)
+            params = optax.apply_updates(params, updates)
+            params, lazy_state = lazy_emb_update(params, lazy_state, grads,
+                                                 batch["ids"], lazy_emb_cfg)
+            opt_state = {"tx": tx_state, "lazy_emb": lazy_state}
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        # Mutable-BN support: a forward_fn that runs BatchNorm in train mode
+        # returns the updated running statistics under "batch_stats"
+        # (torch train-mode semantics, reference image_only.py:54-88); they
+        # replace the frozen-in-the-optimizer copy here.
+        new_bs = outputs.get("batch_stats")
+        if new_bs is not None:
+            params = {**params, "batch_stats": new_bs}
         preds, targets = _predictions(loss_cfg, outputs["out_cls"], batch["labels"])
         correct, n = _accuracy_counts(loss_cfg, preds, targets, batch.get("valid"))
         metrics = {**parts, "correct": correct, "n": n}
@@ -144,10 +221,12 @@ def make_train_step(
     tx: optax.GradientTransformation,
     class_weights=None,
     donate: bool = True,
+    lazy_emb_cfg=None,
 ):
     """forward_fn(params, batch, tim_inputs, dropout_rng, deterministic)
     -> outputs dict."""
-    step = make_train_step_fn(forward_fn, loss_cfg, tx, class_weights)
+    step = make_train_step_fn(forward_fn, loss_cfg, tx, class_weights,
+                              lazy_emb_cfg=lazy_emb_cfg)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 

@@ -127,23 +127,48 @@ def test_run_mm_late_cnn_fusion(task3):
     assert os.path.isfile(stem + "metrics_test.csv")
 
 
-def test_batch_stats_never_decay(task3, rng):
-    """AdamW weight decay must not move BN running statistics."""
-    import argparse
-    import jax.numpy as jnp
-
+def _image_setup(extra=()):
     from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
         build_image_setup,
     )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli.run_img import (
+        parse_args,
+    )
 
-    args_list = ["--model_name", "resnet50", "--task", "3"] + FAST
-    from socialmedia_textimage_classification_auxlosses_tpu.cli.run_img import parse_args
-
-    args = parse_args(args_list)
+    args = parse_args(["--model_name", "resnet50", "--task", "3"]
+                      + FAST + list(extra))
     cfg = C.Config(args, multimodal=False)
-    setup = build_image_setup(args, cfg)
-    batch = next(setup.pipes["train"].batches())
-    batch = jax.device_put(batch)
+    return build_image_setup(args, cfg)
+
+
+def test_bn_stats_update_in_train_mode(task3):
+    """Fine-tuning runs BatchNorm in train mode: running statistics move
+    toward the batch statistics (torch semantics, reference
+    image_only.py:54-88), and eval uses the running stats (round-1 verdict
+    item 7)."""
+    setup = _image_setup()
+    batch = jax.device_put(next(setup.pipes["train"].batches()))
+    before = np.asarray(setup.params["batch_stats"]["stem_bn"]["mean"])
+    p2, opt2, _ = setup.train_step(setup.params, setup.opt_state, batch,
+                                   jax.random.PRNGKey(0))
+    after = np.asarray(p2["batch_stats"]["stem_bn"]["mean"])
+    assert not np.allclose(before, after)
+    # eval consumes the updated running stats and never mutates them
+    out1 = setup.eval_step(p2, batch, jax.random.PRNGKey(1))
+    p3, _, _ = setup.train_step(p2, opt2, batch, jax.random.PRNGKey(2))
+    assert not np.allclose(after, np.asarray(p3["batch_stats"]["stem_bn"]["mean"]))
+    out2 = setup.eval_step(p2, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out1["out_cls" if "out_cls" in out1
+                                                 else "loss"]),
+                                  np.asarray(out2["out_cls" if "out_cls" in out2
+                                                  else "loss"]))
+
+
+def test_bn_stats_frozen_with_feature_extract(task3):
+    """--feature_extract keeps BN statistics frozen (and AdamW weight decay
+    must not move them either)."""
+    setup = _image_setup(["--feature_extract"])
+    batch = jax.device_put(next(setup.pipes["train"].batches()))
     before = np.asarray(setup.params["batch_stats"]["stem_bn"]["mean"])
     p2, _, _ = setup.train_step(setup.params, setup.opt_state, batch,
                                 jax.random.PRNGKey(0))
