@@ -172,9 +172,9 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
     ids0 = jnp.zeros((2, cfg.max_length), jnp.int32)
     params = model.init(jax.random.PRNGKey(args.seed), ids0, ids0,
                         ids0 if use_tt else None)
-    if not overrides["scan_layers"]:
-        params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
-                                           path=("params", "tower"))
+    params = H.maybe_import_text_tower(params, model_dir, enc_cfg.layers,
+                                       path=("params", "tower"),
+                                       scan=overrides["scan_layers"])
 
     def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
                    word_embeds=None, tim_word_embeds=None):
@@ -255,17 +255,18 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         geo = vit_geometry(model_name, model_dir)
         enc_cfg = vision_encoder_config(model_name, model_dir, dtype=args.dtype,
                                         **overrides)
-        if not overrides["scan_layers"]:
-            if model_name == "beit":
-                params = H.maybe_import_beit_tower(params, model_dir,
-                                                   enc_cfg.layers,
-                                                   path=("params", "tower"))
-            else:
-                params = H.maybe_import_vision_tower(
-                    params, model_dir, enc_cfg.layers,
-                    distilled=(model_name == "deit"),
-                    path=("params", "tower"),
-                )
+        if model_name == "beit":
+            # BeitEncoder has no scan layout (explicit layer_{i} loop)
+            params = H.maybe_import_beit_tower(params, model_dir,
+                                               enc_cfg.layers,
+                                               path=("params", "tower"))
+        else:
+            params = H.maybe_import_vision_tower(
+                params, model_dir, enc_cfg.layers,
+                distilled=(model_name == "deit"),
+                path=("params", "tower"),
+                scan=overrides["scan_layers"],
+            )
 
     mean, std = norm
     dtype = jnp.dtype(args.dtype)
@@ -379,19 +380,21 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     else:
         params = init_mm_late_params(model, jax.random.PRNGKey(args.seed),
                                      ids0, ids0, px0, tt0)
-        if not overrides["scan_layers"]:
-            params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
-                                               path=("params", "dual", "text"))
-            if img_name == "beit":
-                params = H.maybe_import_beit_tower(
-                    params, img_dir, vis_cfg.layers,
-                    path=("params", "dual", "vision"))
-            else:
-                params = H.maybe_import_vision_tower(
-                    params, img_dir, vis_cfg.layers,
-                    distilled=(img_name == "deit"),
-                    path=("params", "dual", "vision"),
-                )
+        params = H.maybe_import_text_tower(params, txt_dir, text_cfg.layers,
+                                           path=("params", "dual", "text"),
+                                           scan=overrides["scan_layers"])
+        if img_name == "beit":
+            # BeitEncoder has no scan layout (explicit layer_{i} loop)
+            params = H.maybe_import_beit_tower(
+                params, img_dir, vis_cfg.layers,
+                path=("params", "dual", "vision"))
+        else:
+            params = H.maybe_import_vision_tower(
+                params, img_dir, vis_cfg.layers,
+                distilled=(img_name == "deit"),
+                path=("params", "dual", "vision"),
+                scan=overrides["scan_layers"],
+            )
         frozen = vision_frozen_predicate  # reference mm_late.py:67-69
 
     mean, std = norm

@@ -83,8 +83,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
                                   ids0, ids0, ids0, px0)
         from ..models import hf_import as H
 
-        if not getattr(args, "scan_layers", False):
-            params = H.maybe_import_vilt(params, model_dir, layers)
+        params = H.maybe_import_vilt(params, model_dir, layers,
+                                     scan=getattr(args, "scan_layers", False))
         mean, std = IMAGE_NORM["vilt"]
         dtype = jnp.dtype(args.dtype)
 

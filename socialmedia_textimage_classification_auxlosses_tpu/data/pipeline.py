@@ -101,8 +101,12 @@ class SplitPipeline:
     def num_batches(self):
         return max(1, -(-self.n // self.cfg.batch_size)) if self.n else 0
 
-    def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None
-                ) -> Iterator[Dict[str, np.ndarray]]:
+    def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None,
+                local_rows=None) -> Iterator[Dict[str, np.ndarray]]:
+        """``local_rows=(start, stop)`` materialises only that row range of
+        each global batch — the per-host slice on a multi-host pod
+        (``MeshPlan.process_rows``). All hosts must pass identically-seeded
+        ``rng`` so the global order agrees."""
         if self.n == 0:
             return
         order = np.arange(self.n)
@@ -116,6 +120,10 @@ class SplitPipeline:
             if pad:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
                 valid[len(idx) - pad:] = 0.0
+            if local_rows is not None:
+                lo, hi = local_rows
+                idx = idx[lo:hi]
+                valid = valid[lo:hi]
             batch: Dict[str, np.ndarray] = {
                 "labels": self.labels[idx],
                 "valid": valid,
@@ -140,12 +148,22 @@ class SplitPipeline:
 
     def device_iter(self, shuffle=False, rng=None, mesh_plan=None):
         """Device-put with one batch of lookahead; shards on the data axis
-        when a mesh plan is given."""
+        when a mesh plan is given. On a multi-host pod each process
+        materialises only its own rows of the global batch and assembles
+        the global array from per-process shards."""
         import jax
 
-        put = (mesh_plan.shard_batch if mesh_plan is not None else jax.device_put)
+        local_rows = None
+        if mesh_plan is not None and jax.process_count() > 1:
+            local_rows = mesh_plan.process_rows(self.cfg.batch_size)
+            put = lambda b: mesh_plan.process_batch(b, self.cfg.batch_size)
+        elif mesh_plan is not None:
+            put = mesh_plan.shard_batch
+        else:
+            put = jax.device_put
         pending = None
-        for batch in self.batches(shuffle=shuffle, rng=rng):
+        for batch in self.batches(shuffle=shuffle, rng=rng,
+                                  local_rows=local_rows):
             nxt = put(batch)
             if pending is not None:
                 yield pending

@@ -241,22 +241,44 @@ def merge_tower(params: dict, tower_tree: dict, path=("tower",)) -> dict:
     return params
 
 
+def stack_scan_layers(tower_tree: dict, num_layers: int) -> dict:
+    """Convert a tower tree's per-layer ``encoder.layer_{i}`` subtrees into
+    the ``lax.scan`` layout (``encoder.layers.layer`` with a leading layer
+    axis) so pretrained imports work under ``--scan_layers`` (round-1 verdict
+    item 9; encoder.py TransformerStack)."""
+    enc = tower_tree.get("encoder")
+    if not enc or "layer_0" not in enc:
+        return tower_tree
+    import jax
+
+    per_layer = [enc[f"layer_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
+    new_enc = {k: v for k, v in enc.items() if not k.startswith("layer_")}
+    new_enc["layers"] = {"layer": stacked}
+    return {**tower_tree, "encoder": new_enc}
+
+
 def maybe_import_text_tower(params: dict, model_dir: str, num_layers: int,
-                            path=("tower",)) -> dict:
+                            path=("tower",), scan: bool = False) -> dict:
     state = load_state_dict(model_dir)
     if state is None:
         return params
-    return merge_tower(params, import_bert_tower(state, num_layers), path)
+    tree = import_bert_tower(state, num_layers)
+    if scan:
+        tree = stack_scan_layers(tree, num_layers)
+    return merge_tower(params, tree, path)
 
 
 def maybe_import_vision_tower(params: dict, model_dir: str, num_layers: int,
-                              distilled=False, pooling="tanh", path=("tower",)) -> dict:
+                              distilled=False, pooling="tanh", path=("tower",),
+                              scan: bool = False) -> dict:
     state = load_state_dict(model_dir)
     if state is None:
         return params
-    return merge_tower(
-        params, import_vit_tower(state, num_layers, distilled, pooling), path
-    )
+    tree = import_vit_tower(state, num_layers, distilled, pooling)
+    if scan:
+        tree = stack_scan_layers(tree, num_layers)
+    return merge_tower(params, tree, path)
 
 
 def _bert_layer(state, p):
@@ -379,11 +401,14 @@ def import_lxmert(state: Dict[str, np.ndarray], l_layers: int, r_layers: int,
 
 
 def maybe_import_vilt(params: dict, model_dir: str, num_layers: int,
-                      path=("params", "backbone")) -> dict:
+                      path=("params", "backbone"), scan: bool = False) -> dict:
     state = load_state_dict(model_dir)
     if state is None:
         return params
-    return merge_tower(params, import_vilt(state, num_layers), path)
+    tree = import_vilt(state, num_layers)
+    if scan:
+        tree = stack_scan_layers(tree, num_layers)
+    return merge_tower(params, tree, path)
 
 
 def maybe_import_lxmert(params: dict, model_dir: str, l_layers: int,

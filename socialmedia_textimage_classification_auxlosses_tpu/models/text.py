@@ -76,6 +76,10 @@ def text_encoder_config(
         overrides.setdefault("heads", hf.get("num_attention_heads", 12))
         overrides.setdefault("mlp_dim", hf.get("intermediate_size", 3072))
         overrides.setdefault("ln_eps", hf.get("layer_norm_eps", 1e-12))
+        # tower dropout follows the checkpoint config, exactly as the
+        # reference's AutoModel.from_pretrained does (text_only.py:30);
+        # args.dropout only governs the classification head there.
+        dropout = hf.get("hidden_dropout_prob", dropout)
     preset.update(overrides)
     return EncoderConfig(
         dropout=dropout, ln_style="post", dtype=dtype, attn_impl=attn_impl,

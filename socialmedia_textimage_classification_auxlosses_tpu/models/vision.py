@@ -73,6 +73,9 @@ def vision_encoder_config(
         overrides.setdefault("heads", hf.get("num_attention_heads", 12))
         overrides.setdefault("mlp_dim", hf.get("intermediate_size", 3072))
         overrides.setdefault("ln_eps", hf.get("layer_norm_eps", 1e-12))
+        # tower dropout follows the checkpoint config (HF ViT defaults to
+        # 0.0), matching the reference's from_pretrained towers.
+        overrides.setdefault("dropout", hf.get("hidden_dropout_prob", 0.0))
     overrides.setdefault("ln_eps", 1e-12)
     return EncoderConfig(
         vocab_size=1, max_positions=1, type_vocab=0, ln_style="pre",

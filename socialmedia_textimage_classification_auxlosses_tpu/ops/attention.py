@@ -198,6 +198,25 @@ _sdpa_pallas.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
 # Public entry point
 # ---------------------------------------------------------------------------
 
+# Measured fwd+bwd crossover on a v5e (BASELINE.md round-2 ablation, 100-iter
+# timings): XLA wins below ~3e6 score elements per head-group
+# (b*lq*lk at h=12 -> 3.6e7 with heads folded in); Pallas wins 23-28% above
+# it (e.g. b=96 L=197: 1.71 vs 2.31 ms; b=64 L=256: 1.30 vs 1.80 ms).
+_AUTO_MIN_WORK = 3.6e7  # b*h*lq*lk
+# the whole-Lk kernel keeps an (h, lq, lk) f32 score block in VMEM; stay
+# well under the ~16 MB/core budget (with double-buffered operands).
+_AUTO_MAX_VMEM_BYTES = 8 * 1024 * 1024
+
+
+def _auto_impl(b: int, h: int, lq: int, lk: int) -> str:
+    if jax.default_backend() == "cpu":  # no Pallas TPU lowering on host
+        return "jnp"
+    work = b * h * lq * lk
+    score_bytes = h * lq * lk * 4
+    if work >= _AUTO_MIN_WORK and score_bytes <= _AUTO_MAX_VMEM_BYTES:
+        return "pallas"
+    return "jnp"
+
 
 def sdpa(
     q: jax.Array,
@@ -209,19 +228,20 @@ def sdpa(
 ) -> jax.Array:
     """Fused SDPA. ``impl``: "auto" | "pallas" | "pallas_interpret" | "jnp".
 
-    ``auto`` resolves to the XLA path: at this framework's sequence lengths
-    (<=224 tokens) the whole attention fits XLA's fusion windows, and the
-    measured end-to-end training throughput on a v5e chip is XLA 270 vs
-    Pallas 254 posts/s (the Pallas call is a fusion barrier for the
-    surrounding projections, which costs more than its HBM savings buy).
-    The Pallas kernels stay first-class and opt-in (``--attn_impl pallas``):
-    they win when the score tensor stops fitting XLA's fusion budget —
-    longer sequences or larger per-step batches.
+    ``auto`` dispatches per shape from the measured v5e crossover
+    (``_auto_impl``): XLA below ~3.6e7 score elements — there the whole
+    attention fits XLA's fusion windows and the Pallas call would be a
+    fusion barrier for the surrounding projections — and the Pallas kernel
+    above it (23-28% faster fwd+bwd at b>=96 L=197 / b>=64 L=256), capped
+    by the kernel's VMEM footprint. At the paper's training shapes
+    (batch 8, seq <=224) auto therefore resolves to XLA; large-batch
+    serving/fine-tune configs get the kernel automatically.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "jnp"
+        b, h, lq, _ = q.shape
+        impl = _auto_impl(b, h, lq, k.shape[2])
     if impl == "jnp":
         return sdpa_reference(q, k, v, key_mask, scale)
     if key_mask is None:

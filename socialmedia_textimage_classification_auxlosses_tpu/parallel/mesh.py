@@ -76,6 +76,37 @@ class MeshPlan:
     def shard_batch(self, batch):
         return jax.device_put(batch, self.batch_sharding())
 
+    # -- multi-host input sharding -------------------------------------------
+
+    def process_rows(self, global_batch_size: int):
+        """This process's contiguous row range of each *global* batch.
+
+        On a pod every host must generate the SAME global row order (the
+        trainer seeds its shuffle rng identically on all hosts) and then
+        materialise only its slice; rows are assigned contiguously by
+        ``jax.process_index()``, matching the default device order of a
+        mesh built from ``jax.devices()`` (process-major).
+        """
+        p, n = jax.process_index(), jax.process_count()
+        per = global_batch_size // n
+        if per * n != global_batch_size:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{n} processes")
+        return p * per, (p + 1) * per
+
+    def process_batch(self, local_batch, global_batch_size: int):
+        """Assemble the global data-sharded batch from this process's local
+        rows (``jax.make_array_from_process_local_data``): the host only
+        ever touches + transfers its own 1/num_processes of the input."""
+        sharding = self.batch_sharding()
+
+        def to_global(x):
+            shape = (global_batch_size,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, shape)
+
+        return jax.tree_util.tree_map(to_global, local_batch)
+
 
 def make_mesh_plan(
     data: Optional[int] = None, model: int = 1, devices=None

@@ -68,3 +68,23 @@ def test_mixed_precision_bf16(rng):
     ref = A.sdpa_reference(q, k, v, mask)
     assert out.dtype == jnp.bfloat16
     assert np.allclose(np.asarray(out, np.float32), np.asarray(ref), atol=3e-2)
+
+
+def test_auto_dispatch_rules():
+    """auto resolves per shape from the measured v5e crossover; on the CPU
+    test backend it must always resolve to jnp."""
+    from socialmedia_textimage_classification_auxlosses_tpu.ops.attention import (
+        _AUTO_MAX_VMEM_BYTES, _AUTO_MIN_WORK, _auto_impl,
+    )
+    import jax
+
+    assert jax.default_backend() == "cpu"
+    assert _auto_impl(96, 12, 197, 197) == "jnp"  # cpu -> jnp regardless
+
+    # the rule itself (backend-independent part)
+    work = lambda b, h, lq, lk: b * h * lq * lk
+    assert work(8, 12, 128, 128) < _AUTO_MIN_WORK          # paper shape: XLA
+    assert work(96, 12, 197, 197) >= _AUTO_MIN_WORK        # measured pallas win
+    assert work(64, 12, 256, 256) >= _AUTO_MIN_WORK        # measured pallas win
+    assert work(64, 12, 197, 197) < _AUTO_MIN_WORK         # measured XLA win
+    assert 12 * 512 * 512 * 4 > _AUTO_MAX_VMEM_BYTES       # long seq capped

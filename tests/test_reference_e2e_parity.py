@@ -1,0 +1,186 @@
+"""End-to-end TRAINING parity against the reference snapshot (round-1
+verdict item 8): identical tiny checkpoint + identical fixture data +
+identical (transplanted) head init + shuffle off + dropout 0 ->
+per-step train-loss trajectories and eval outputs must match between the
+reference's own torch train loop (text_only.py, run via tests/ref_harness)
+and our compiled train step.
+
+This upgrades component-level parity (losses/towers/metrics bit-tests)
+to training parity: the strongest claim available without the real
+datasets (reference run_mm_late.py:65-153 contract).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from fixtures import make_task_fixture, patch_task  # noqa: E402
+
+N_ROWS = 32          # 24 train (16+8: exercises our padded last batch), 4/4
+EPOCHS = 1
+LR, WD = 1e-3, 2.5e-4
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "tweet", "number",
+         "with", "and", "a", "link", "httpurl", "@user", "user", "@", "!",
+         "1", "2", "3", "4", "5", "6", "7", "8", "9", "0", "##0", "##1",
+         "##2", "##3", "##4", "##5", "##6", "##7", "##8", "##9"]
+
+
+def _make_ckpt(tmp_path):
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vfile = tmp_path / "vocab.txt"
+    vfile.write_text("\n".join(VOCAB) + "\n")
+    torch.manual_seed(0)
+    cfg = BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=130, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    bert = BertModel(cfg)
+    ckpt = tmp_path / "bert_ckpt"
+    bert.save_pretrained(str(ckpt), safe_serialization=False)
+    BertTokenizer(str(vfile), do_lower_case=True).save_pretrained(str(ckpt))
+    return str(ckpt)
+
+
+@pytest.fixture
+def parity_env(tmp_path):
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=N_ROWS)
+    ckpt = _make_ckpt(tmp_path)
+    res = tmp_path / "ref_results"
+    res.mkdir()
+    return dict(csv=csv_path, img_fmt=img_fmt, ckpt=ckpt, res=str(res))
+
+
+def _run_reference(env):
+    """Drive the reference's own TextModel.train deterministically."""
+    import torch
+    import torch.nn as nn
+    from torch.utils.data import DataLoader
+
+    from ref_harness import load_reference
+
+    mods = load_reference({
+        "PATH": {3: env["csv"]},
+        "IMG_FMT": {3: env["img_fmt"]},
+        "MODEL_DIR_DICT": {"bert": env["ckpt"]},
+        "txt_feat_size": 32,  # module constant is hardcoded 768 (config.py:82)
+        "results_dir_txt": env["res"] + "/",
+    })
+    to = mods["text_only"]
+    Config = mods["config"].Config
+
+    class Args:
+        task = 3
+        dropout = 0.0
+        weight_decay = WD
+        lr = LR
+        use_loss_correction = False
+
+    torch.manual_seed(30)
+    cfg = Config(Args(), multimodal=False, txt=True)
+    tm = to.TextModel(cfg, "bert")
+    tr_l, va_l, te_l, weight, _ = tm.load_data(cfg.data, testing=False,
+                                               task_name=cfg.task_name)
+    # deterministic order for the trajectory comparison
+    tr_l = DataLoader(tr_l.dataset, batch_size=cfg.batch_size, shuffle=False)
+
+    losses = []
+    base_fn = nn.CrossEntropyLoss(weight=weight)
+
+    class Recorder(nn.Module):
+        def forward(self, out, target):
+            l = base_fn(out, target)
+            losses.append(float(l.detach()))
+            return l
+
+    # capture the torch head's INITIAL weights (to transplant into ours)
+    head0_w = tm.model.linear.weight.detach().numpy().copy()
+    head0_b = tm.model.linear.bias.detach().numpy().copy()
+
+    val_csv = env["res"] + "/ref_metrics_val.csv"
+    tm.train(tr_l, va_l, EPOCHS, Recorder(), LR, WD, val_filename=val_csv)
+    return {
+        "losses": losses,  # train steps then val batches, per epoch
+        "val_csv": val_csv,
+        "head0_w": head0_w,
+        "head0_b": head0_b,
+        "n_train_batches": len(tr_l),
+    }
+
+
+def test_text_training_parity_vs_reference(parity_env, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    ref = _run_reference(parity_env)
+    n_tr = ref["n_train_batches"]
+    ref_train = ref["losses"][:n_tr]
+    ref_val = ref["losses"][n_tr:n_tr + 1]  # 4 val rows -> 1 batch
+
+    # ---- ours ---------------------------------------------------------
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_txt
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_text_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.train.loop import (
+        Trainer,
+    )
+
+    patch_task(monkeypatch, C, 3, parity_env["csv"], parity_env["img_fmt"],
+               parity_env["res"] + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "bert", parity_env["ckpt"])
+
+    args = run_txt.parse_args([
+        "--model_name", "bert", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+    ])
+    cfg = C.Config(args, multimodal=False)
+    setup = build_text_setup(args, cfg)
+
+    # identical head init: transplant the reference head's initial weights
+    p = jax.tree_util.tree_map(lambda x: x, setup.params)
+    p["params"]["classifier"] = {
+        "kernel": jnp.asarray(ref["head0_w"].T),
+        "bias": jnp.asarray(ref["head0_b"]),
+    }
+    opt_state = setup.tx.init(p)
+
+    our_train = []
+    params = p
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_train))
+        params, opt_state, metrics = setup.train_step(params, opt_state,
+                                                      batch, key)
+        our_train.append(float(metrics["loss"]))
+
+    trainer = Trainer(setup.train_step, setup.eval_step, params, opt_state,
+                      num_labels=cfg.num_labels,
+                      metric_names=C.metric_names)
+    res_val = trainer.evaluate(setup.pipes["val"])
+
+    # ---- compare ------------------------------------------------------
+    np.testing.assert_allclose(our_train, ref_train, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(res_val["loss"], ref_val[0], rtol=2e-3,
+                               atol=2e-4)
+    # metric CSV parity: macro F1 row of the reference's own CSV
+    ref_df = pd.read_csv(ref["val_csv"]).set_index("metric")
+    from socialmedia_textimage_classification_auxlosses_tpu.train.metrics import (
+        metrics_from_confusion,
+    )
+    ours_m = metrics_from_confusion(res_val["cm"])
+    np.testing.assert_allclose(ours_m["f1_macro"],
+                               float(ref_df.loc["f1_macro", "epoch-1"]),
+                               atol=1e-6)
