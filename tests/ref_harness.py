@@ -120,5 +120,6 @@ def load_reference(config_overrides: dict):
     utils = _exec_module("utils", f"{REF}/models/utils.py")
     datasets = _exec_module("datasets", f"{REF}/models/datasets.py")
     text_only = _exec_module("text_only", f"{REF}/models/text_only.py")
+    mm_late = _exec_module("mm_late", f"{REF}/models/mm_late.py")
     return {"config": cfg, "text_processing": tp, "utils": utils,
-            "datasets": datasets, "text_only": text_only}
+            "datasets": datasets, "text_only": text_only, "mm_late": mm_late}

@@ -184,3 +184,153 @@ def test_text_training_parity_vs_reference(parity_env, monkeypatch):
     np.testing.assert_allclose(ours_m["f1_macro"],
                                float(ref_df.loc["f1_macro", "epoch-1"]),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MM late fusion (the paper's flagship path): CE + ITC training parity
+# ---------------------------------------------------------------------------
+
+
+def _make_vit_ckpt(tmp_path):
+    import torch
+    from transformers import ViTConfig, ViTModel, ViTFeatureExtractor
+
+    torch.manual_seed(1)
+    cfg = ViTConfig(hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    image_size=32, patch_size=16,
+                    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    vit = ViTModel(cfg)
+    ckpt = tmp_path / "vit_ckpt"
+    vit.save_pretrained(str(ckpt), safe_serialization=False)
+    ViTFeatureExtractor(size=32).save_pretrained(str(ckpt))
+    return str(ckpt)
+
+
+def _run_reference_mm(env, vit_ckpt, tmp_path):
+    import torch
+    import torch.nn as nn
+    from torch.utils.data import DataLoader
+
+    from ref_harness import load_reference
+
+    mods = load_reference({
+        "PATH": {3: env["csv"]},
+        "IMG_FMT": {3: env["img_fmt"]},
+        "MODEL_DIR_DICT": {"bert": env["ckpt"], "vit": vit_ckpt},
+        "txt_feat_size": 32, "img_feat_size": 32, "fixed_feat_size": 32,
+        "results_dir_mm_late": env["res"] + "/",
+    })
+    ml = mods["mm_late"]
+    Config = mods["config"].Config
+
+    class Args:
+        task = 3
+        dropout = 0.0
+        weight_decay = WD
+        lr = LR
+        use_loss_correction = False
+        use_clip_loss = True
+        beta_itc = 0.1
+        use_tim_loss = False
+        beta_itm = 0.1
+        use_iadds_loss = False
+        beta_iadds = None
+
+    torch.manual_seed(30)
+    cfg = Config(Args(), multimodal=True)
+    mm = ml.MMLate_Model(cfg, "bert", "vit", "attention")
+    tr_l, va_l, te_l, weight, _ = mm.load_data(cfg.data, cfg.img_fmt,
+                                               task_name=cfg.task_name)
+    tr_l = DataLoader(tr_l.dataset, batch_size=cfg.batch_size, shuffle=False)
+
+    # save the INITIAL torch state dict for import into our params
+    init_sd = {k: v.clone() for k, v in mm.model.state_dict().items()}
+    sd_path = str(tmp_path / "mm_init.pth")
+    torch.save(init_sd, sd_path)
+
+    ce_losses, itc_losses = [], []
+    base_fn = nn.CrossEntropyLoss(weight=weight)
+
+    class CeRecorder(nn.Module):
+        def forward(self, out, target):
+            l = base_fn(out, target)
+            ce_losses.append(float(l.detach()))
+            return l
+
+    orig_clip = ml.clip_loss
+
+    def clip_recorder(logits):
+        l = orig_clip(logits)
+        itc_losses.append(float(l.detach()))
+        return l
+
+    ml.clip_loss = clip_recorder
+    try:
+        val_csv = env["res"] + "/ref_mm_metrics_val.csv"
+        mm.train(tr_l, va_l, EPOCHS, CeRecorder(), LR, WD,
+                 val_filename=val_csv)
+    finally:
+        ml.clip_loss = orig_clip
+    return {"ce": ce_losses, "itc": itc_losses, "sd_path": sd_path,
+            "n_train_batches": len(tr_l)}
+
+
+def test_mm_late_training_parity_vs_reference(tmp_path, monkeypatch):
+    """Flagship (Bernice-config dual encoder at tiny scale: bert+vit,
+    attention fusion, CE + beta_itc*ITC, frozen vision): per-step CE and ITC
+    loss components match the reference's torch loop."""
+    import jax
+    import jax.numpy as jnp
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=24)  # 16 train: 1 full batch
+    ckpt = _make_ckpt(tmp_path)
+    vit_ckpt = _make_vit_ckpt(tmp_path)
+    res = tmp_path / "res"
+    res.mkdir()
+    env = dict(csv=str(csv_path), img_fmt=img_fmt, ckpt=ckpt, res=str(res))
+    ref = _run_reference_mm(env, vit_ckpt, tmp_path)
+    n_tr = ref["n_train_batches"]
+
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import (
+        run_mm_late,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_mm_late_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        hf_import as H,
+    )
+
+    patch_task(monkeypatch, C, 3, env["csv"], env["img_fmt"],
+               str(res) + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "bert", ckpt)
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "vit", vit_ckpt)
+
+    args = run_mm_late.parse_args([
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "attention", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+        "--use_clip_loss",
+    ])
+    cfg = C.Config(args)
+    setup = build_mm_late_setup(args, cfg)
+    params = H.maybe_import_reference_mm_late(setup.params, ref["sd_path"],
+                                              2, 2, "attention")
+    opt_state = setup.tx.init(params)
+
+    our_ce, our_itc = [], []
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_ce))
+        params, opt_state, m = setup.train_step(params, opt_state, batch, key)
+        our_ce.append(float(m["cls_loss"]))
+        our_itc.append(float(m["itc_loss"]))
+
+    np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
