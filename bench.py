@@ -187,7 +187,10 @@ def measure_torch_baseline(steps: int = 10):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--steps", type=int, default=10,
+                        help="steps per timing rep (best of ~60/steps reps "
+                             "is reported; short reps sample more windows "
+                             "of the shared chip)")
     parser.add_argument("--measure_baseline", action="store_true")
     parser.add_argument("--attn_impl", default=os.environ.get("SMTC_BENCH_ATTN", "auto"))
     parser.add_argument("--opt_impl", default=os.environ.get("SMTC_BENCH_OPT", "lazy_emb"),

@@ -88,3 +88,30 @@ def test_auto_dispatch_rules():
     assert work(64, 12, 256, 256) >= _AUTO_MIN_WORK        # measured pallas win
     assert work(64, 12, 197, 197) < _AUTO_MIN_WORK         # measured XLA win
     assert 12 * 512 * 512 * 4 > _AUTO_MAX_VMEM_BYTES       # long seq capped
+
+
+def test_blocked_long_seq_forward_matches_reference(rng):
+    """lq > 2*_Q_BLOCK engages the Lq-tiled kernel (incl. a padded tail)."""
+    q, k, v, mask = _inputs(rng, b=1, h=2, lq=2 * A._Q_BLOCK + 40,
+                            lk=96, d=8)
+    ref = A.sdpa(q, k, v, mask, impl="jnp")
+    out = A.sdpa(q, k, v, mask, impl="pallas_interpret")
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_blocked_long_seq_grads_match_reference(rng):
+    """dK/dV accumulate across query tiles; padded q rows contribute zero."""
+    q, k, v, mask = _inputs(rng, b=1, h=2, lq=2 * A._Q_BLOCK + 24,
+                            lk=40, d=4)
+
+    def loss(fn_impl):
+        def f(q, k, v):
+            out = A.sdpa(q, k, v, mask, impl=fn_impl)
+            return jnp.sum(out * jnp.cos(out))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_ref = loss("jnp")
+    g_pal = loss("pallas_interpret")
+    for a, b_ in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
