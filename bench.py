@@ -32,7 +32,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
-                 opt_impl: str = "lazy_emb"):
+                 opt_impl: str = "lazy_emb", cache_vision: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,15 +49,30 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
                                        seq_len=SEQ, image_size=IMG,
                                        num_labels=NUM_LABELS)
 
+    if cache_vision:
+        # steady-state step under --cache_vision: the frozen tower's
+        # activations arrive precomputed; the step contains no vision tower
+        from socialmedia_textimage_classification_auxlosses_tpu.models.fusion import (
+            MMLateModel,
+        )
+
+        vh, vp = jax.jit(lambda p, px: model.apply(
+            p, px, deterministic=True, method=MMLateModel.encode_vision))(
+                params, batch["pixel_values"])
+        batch = {**batch, "vision_hidden": vh, "vision_pooled": vp}
+        del batch["pixel_values"]
+
     def forward_fn(p, b, tim_inputs, dropout_rng, deterministic,
                    word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
         return model.apply(
-            p, b["ids"], b["mask"], b["pixel_values"],
+            p, b["ids"], b["mask"], b.get("pixel_values"),
             tim_ids=None if tim_inputs is None else tim_inputs["ids"],
             tim_mask=None if tim_inputs is None else tim_inputs["mask"],
             deterministic=deterministic, rngs=rngs,
             word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
+            vision_hidden=b.get("vision_hidden"),
+            vision_pooled=b.get("vision_pooled"),
         )
 
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
@@ -199,6 +214,16 @@ def main():
                              "TPU-native default; loss-equivalence tested in "
                              "tests/test_lazy_emb.py). exact = dense AdamW "
                              "(reference parity mode)")
+    parser.add_argument("--cache_vision", dest="cache_vision",
+                        action="store_true", default=(os.environ.get(
+                            "SMTC_BENCH_CACHE_VISION", "1") == "1"),
+                        help="measure the steady-state step under the frozen-"
+                             "vision activation cache (--cache_vision CLI "
+                             "mode; equivalence tested; default on — the "
+                             "cache build is one vision fwd per image, "
+                             "amortised over all epochs)")
+    parser.add_argument("--no_cache_vision", dest="cache_vision",
+                        action="store_false")
     args = parser.parse_args()
 
     baseline = None
@@ -218,11 +243,13 @@ def main():
 
     try:
         steps_per_sec, loss = measure_ours(args.steps, attn_impl=args.attn_impl,
-                                           opt_impl=args.opt_impl)
+                                           opt_impl=args.opt_impl,
+                                           cache_vision=args.cache_vision)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
         steps_per_sec, loss = measure_ours(args.steps, attn_impl="jnp",
-                                           opt_impl=args.opt_impl)
+                                           opt_impl=args.opt_impl,
+                                           cache_vision=args.cache_vision)
 
     posts_per_sec = steps_per_sec * BATCH
     print(json.dumps({

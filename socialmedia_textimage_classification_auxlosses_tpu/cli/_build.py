@@ -134,6 +134,103 @@ def _make_pipes(cfg, splits, tokenizer, image_source_fn=None, pipe_cfg=None,
     return pipes
 
 
+class VisionCachedPipe:
+    """Wraps a SplitPipeline, replacing per-step vision-tower recomputation
+    with a per-image activation cache.
+
+    The dual encoder's vision tower is FROZEN (reference mm_late.py:67-69),
+    so its activations per image are constant for the whole run — yet the
+    reference recomputes them every epoch and again for the TIM pass
+    (mm_late.py:149-175). Here the first touch of an image runs a
+    vision-only jit and memoises (hidden, pooled) host-side in bf16; every
+    later epoch feeds the cached activations and the train step contains no
+    vision tower at all.
+    """
+
+    def __init__(self, inner: SplitPipeline, vision_fn, params):
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.vision_fn = vision_fn
+        self.params = params
+        self._cache: Dict[str, tuple] = {}
+        self.compute_calls = 0  # test/observability hook
+
+    def __len__(self):
+        return len(self.inner)
+
+    @property
+    def num_batches(self):
+        return self.inner.num_batches
+
+    def _features(self, batch):
+        ids = [str(i) for i in np.asarray(batch["data_id"])]
+        if any(i not in self._cache for i in ids):
+            hidden, pooled = self.vision_fn(self.params, batch["pixel_values"])
+            hidden = np.asarray(hidden)  # ml_dtypes bf16 stays 2 bytes
+            pooled = np.asarray(pooled)
+            self.compute_calls += 1
+            for row, i in enumerate(ids):
+                self._cache[i] = (hidden[row], pooled[row])
+        return (np.stack([self._cache[i][0] for i in ids]),
+                np.stack([self._cache[i][1] for i in ids]))
+
+    def device_iter(self, shuffle=False, rng=None, mesh_plan=None):
+        import jax
+
+        local_rows = None
+        if mesh_plan is not None and jax.process_count() > 1:
+            local_rows = mesh_plan.process_rows(self.cfg.batch_size)
+            put = lambda b: mesh_plan.process_batch(b, self.cfg.batch_size)
+        elif mesh_plan is not None:
+            put = mesh_plan.shard_batch
+        else:
+            put = jax.device_put
+        pending = None
+        for batch in self.inner.batches(shuffle=shuffle, rng=rng,
+                                        local_rows=local_rows):
+            hidden, pooled = self._features(batch)
+            batch["vision_hidden"] = hidden
+            batch["vision_pooled"] = pooled
+            del batch["pixel_values"]  # the step never touches pixels
+            nxt = put(batch)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+
+def enable_vision_cache(setup: Setup):
+    """Swap the mm-late pipes for vision-activation-cached ones
+    (``--cache_vision``). Call AFTER any checkpoint import so the cache
+    computes from the final (frozen) vision weights. Holds an undonated
+    device copy of the vision subtree (~0.3 GB at ViT-base) — the train
+    step's donated buffers must not be aliased by the cache's jit."""
+    from ..models.fusion import MMLateModel
+
+    mean, std = setup.image_norm
+    model = setup.model
+    dtype = model.text_cfg.jdtype
+    dual = setup.params["params"]["dual"]
+    # vision subtree + logit_scale (DualEncoder.setup materialises that
+    # param eagerly); undonated copies so train-step buffer donation can't
+    # invalidate the cache's inputs
+    vparams = {"params": {"dual": jax.tree_util.tree_map(
+        jnp.array, {"vision": dual["vision"],
+                    "logit_scale": dual["logit_scale"]})}}
+
+    @jax.jit
+    def vision_fn(p, pixels_u8):
+        px = normalize_on_device(pixels_u8, mean, std, dtype)
+        return model.apply(p, px, deterministic=True,
+                           method=MMLateModel.encode_vision)
+
+    setup.pipes = {k: VisionCachedPipe(v, vision_fn, vparams)
+                   for k, v in setup.pipes.items()}
+    logger.info("vision-activation cache enabled (frozen tower)")
+    return setup
+
+
 # ---------------------------------------------------------------------------
 # Text-only (reference run_txt.py / text_only.py)
 # ---------------------------------------------------------------------------
@@ -403,7 +500,10 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
     def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
                    word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
-        pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
+        # under --cache_vision the batch carries precomputed vision
+        # activations instead of pixels
+        pixels = (normalize_on_device(batch["pixel_values"], mean, std, dtype)
+                  if "pixel_values" in batch else None)
         if is_cnn:
             if deterministic:
                 return model.apply(p, batch["ids"], batch["mask"], pixels,
@@ -424,6 +524,8 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
             iadds_task=cfg.use_iadds_loss,
             deterministic=deterministic, rngs=rngs,
             word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
+            vision_hidden=batch.get("vision_hidden"),
+            vision_pooled=batch.get("vision_pooled"),
         )
 
     def image_source_fn(split):

@@ -75,6 +75,12 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                              "touched rows, skips decay on untouched rows; "
                              "removes the weight-HBM bottleneck at small "
                              "batch, train/lazy_emb.py)")
+    if multimodal:
+        parser.add_argument("--cache_vision", action="store_true",
+                            help="cache the frozen vision tower's activations "
+                                 "per image (first touch computes, later "
+                                 "epochs skip the tower entirely; late-fusion "
+                                 "transformer towers only)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest Orbax checkpoint")
     parser.add_argument("--ckpt_every", type=int, default=0,

@@ -99,6 +99,15 @@ def main(argv=None):
         setup.opt_state = setup.tx.init(setup.params)
         logger.info("imported reference checkpoint %s", args.import_reference_ckpt)
 
+    if args.cache_vision:
+        if args.img_model_name in ("resnet50", "resnet152"):
+            logger.warning("--cache_vision requires a (frozen) transformer "
+                           "vision tower; ignoring for the CNN path")
+        else:
+            from ._build import enable_vision_cache
+
+            enable_vision_cache(setup)
+
     loss_str = cfg.loss_str
     nsamples_str = "" if args.nsamples == -1 else "N" + str(args.nsamples) + "_"
     stem = "{}-{}-{}_task{}_seed{}_{}_{}".format(

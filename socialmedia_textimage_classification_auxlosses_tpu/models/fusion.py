@@ -129,10 +129,16 @@ class MMLateModel(nn.Module):
         self.linear_tim = nn.Dense(2, dtype=jnp.float32, name="linear_tim")
         self.linear_iadds = nn.Dense(2, dtype=jnp.float32, name="linear_iadds")
 
+    def encode_vision(self, pixel_values, deterministic=True):
+        """Vision-tower-only forward (for the frozen-tower activation cache:
+        the reference recomputes identical vision features every epoch AND
+        for the TIM second pass, mm_late.py:149-175)."""
+        return self.dual.encode_vision(pixel_values, deterministic)
+
     def __call__(self, ids, attention_mask, pixel_values, token_type_ids=None,
                  tim_ids=None, tim_mask=None, tim_token_type_ids=None,
                  iadds_task=False, deterministic=True, word_embeds=None,
-                 tim_word_embeds=None):
+                 tim_word_embeds=None, vision_hidden=None, vision_pooled=None):
         b = ids.shape[0]
         use_tim = tim_ids is not None
         if use_tim:
@@ -153,9 +159,10 @@ class MMLateModel(nn.Module):
             ids, attention_mask, token_type_ids, deterministic,
             word_embeds=word_embeds,
         )
-        vision_hidden, vision_pooled = self.dual.encode_vision(
-            pixel_values, deterministic
-        )
+        if vision_hidden is None:
+            vision_hidden, vision_pooled = self.dual.encode_vision(
+                pixel_values, deterministic
+            )
         logits_per_text = self.dual.logits_per_text(
             text_pooled[:b], vision_pooled
         )

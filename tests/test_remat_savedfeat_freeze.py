@@ -94,3 +94,66 @@ def test_run_txt_freeze_keeps_tower_fixed(task3):
     # the classification head must still move
     assert not np.array_equal(head_before,
                               np.asarray(p2["params"]["classifier"]["kernel"]))
+
+
+def test_cache_vision_equivalence(tmp_path, monkeypatch):
+    """--cache_vision must not change training results: the frozen vision
+    tower's cached activations are the same activations the fused step
+    would compute; epochs after the first never re-run the tower."""
+    import jax
+    import pandas as pd
+
+    from fixtures import make_task_fixture, patch_task
+    from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3)
+    base = ["--txt_model_name", "bert", "--img_model_name", "vit",
+            "--fusion_name", "attention", "--task", "3", "--arch", "tiny",
+            "--dtype", "float32", "--attn_impl", "jnp", "--epochs", "2",
+            "--image_size", "32", "--use_clip_loss", "--use_tim_loss"]
+    stem = "bert-vit-attention_task3_seed30_itc0.1itm0.1_"
+
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "plain")
+    run_mm_late.main(base)
+    plain = pd.read_csv(C.results_dir_mm_late + stem + "metrics_val.csv")
+
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "cached")
+    run_mm_late.main(base + ["--cache_vision"])
+    cached = pd.read_csv(C.results_dir_mm_late + stem + "metrics_val.csv")
+
+    for col in ("epoch-1", "epoch-2"):
+        # the cache's standalone vision jit fuses differently than the
+        # in-step tower -> f32 rounding drift compounds over 2 epochs
+        np.testing.assert_allclose(cached[col].values.astype(float),
+                                   plain[col].values.astype(float),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_vision_cache_hits_after_first_epoch(tmp_path, monkeypatch):
+    """The vision jit runs once per unique batch, then the cache serves."""
+    import jax
+
+    from fixtures import make_task_fixture, patch_task
+    from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_mm_late_setup, enable_vision_cache,
+    )
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3)
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "res")
+    args = run_mm_late.parse_args([
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "attention", "--task", "3", "--arch", "tiny",
+        "--dtype", "float32", "--attn_impl", "jnp", "--image_size", "32"])
+    cfg = C.Config(args)
+    setup = enable_vision_cache(build_mm_late_setup(args, cfg))
+    pipe = setup.pipes["train"]
+    for _ in pipe.device_iter(shuffle=False):
+        pass
+    calls_epoch1 = pipe.compute_calls
+    assert calls_epoch1 == pipe.num_batches
+    for _ in pipe.device_iter(shuffle=False):
+        pass
+    assert pipe.compute_calls == calls_epoch1  # all cache hits
