@@ -69,7 +69,10 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             vocab_size=vocab, hidden=hidden, layers=layers, heads=heads,
             mlp_dim=mlp_dim,
             max_positions=max(cfg.max_length, hf.get("max_position_embeddings", 40)),
-            type_vocab=2, ln_style="pre", dropout=0.1,
+            # backbone dropout follows the checkpoint config, as the
+            # reference's ViltModel.from_pretrained does (mm_early.py:52)
+            type_vocab=2, ln_style="pre",
+            dropout=hf.get("hidden_dropout_prob", 0.1),
             dtype=args.dtype, attn_impl=args.attn_impl,
             remat=getattr(args, "remat", False),
             scan_layers=getattr(args, "scan_layers", False),

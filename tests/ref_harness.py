@@ -121,5 +121,35 @@ def load_reference(config_overrides: dict):
     datasets = _exec_module("datasets", f"{REF}/models/datasets.py")
     text_only = _exec_module("text_only", f"{REF}/models/text_only.py")
     mm_late = _exec_module("mm_late", f"{REF}/models/mm_late.py")
+
+    # mm_early imports the HF research-project `lxmert_scripts` package the
+    # reference never vendored (SURVEY.md 2.1 "external, non-vendored
+    # dependency") — stub the three names so the module loads; only the
+    # FRCNN paths touch them.
+    lx = types.ModuleType("lxmert_scripts")
+    lx.modeling_frcnn = types.ModuleType("lxmert_scripts.modeling_frcnn")
+    lx.modeling_frcnn.GeneralizedRCNN = object
+    lx.utils = types.ModuleType("lxmert_scripts.utils")
+    lx.utils.Config = object
+    lx.processing_image = types.ModuleType("lxmert_scripts.processing_image")
+    lx.processing_image.Preprocess = object
+    for name in ("lxmert_scripts", "lxmert_scripts.modeling_frcnn",
+                 "lxmert_scripts.utils", "lxmert_scripts.processing_image"):
+        sys.modules[name] = getattr(lx, name.split(".")[1]) if "." in name else lx
+    mm_early = _exec_module("mm_early", f"{REF}/models/mm_early.py")
+    # transformers 4.57 removed ViltImageProcessor.pad_and_create_pixel_mask
+    # (the reference's collate_fn calls it, mm_early.py:216); re-attach it as
+    # a thin alias of the supported `pad(..., return_pixel_mask=True)`.
+    from transformers import ViltImageProcessor
+
+    if not hasattr(ViltImageProcessor, "pad_and_create_pixel_mask"):
+        def pad_and_create_pixel_mask(self, pixel_values_list,
+                                      return_tensors=None):
+            return self.pad(pixel_values_list, return_pixel_mask=True,
+                            return_tensors=return_tensors)
+
+        ViltImageProcessor.pad_and_create_pixel_mask = pad_and_create_pixel_mask
+
     return {"config": cfg, "text_processing": tp, "utils": utils,
-            "datasets": datasets, "text_only": text_only, "mm_late": mm_late}
+            "datasets": datasets, "text_only": text_only, "mm_late": mm_late,
+            "mm_early": mm_early}

@@ -334,3 +334,159 @@ def test_mm_late_training_parity_vs_reference(tmp_path, monkeypatch):
     np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ViLT early fusion: CE + ITC training parity
+# ---------------------------------------------------------------------------
+
+
+def _make_vilt_ckpt2(tmp_path):
+    import torch
+    from transformers import (BertTokenizer, ViltConfig, ViltImageProcessor,
+                              ViltModel, ViltProcessor)
+
+    vfile = tmp_path / "vilt_vocab.txt"
+    vfile.write_text("\n".join(VOCAB) + "\n")
+    torch.manual_seed(2)
+    cfg = ViltConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, image_size=32,
+        patch_size=16, max_position_embeddings=40,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        modality_type_vocab_size=2)
+    vilt = ViltModel(cfg)
+    ckpt = tmp_path / "vilt_ckpt2"
+    vilt.save_pretrained(str(ckpt), safe_serialization=False)
+    improc = ViltImageProcessor(size={"shortest_edge": 32}, size_divisor=16)
+    tok = BertTokenizer(str(vfile), do_lower_case=True)
+    ViltProcessor(improc, tok).save_pretrained(str(ckpt))
+    return str(ckpt)
+
+
+def _run_reference_vilt(env, vilt_ckpt, tmp_path):
+    import torch
+    import torch.nn as nn
+    from torch.utils.data import DataLoader
+
+    from ref_harness import load_reference
+
+    mods = load_reference({
+        "PATH": {3: env["csv"]},
+        "IMG_FMT": {3: env["img_fmt"]},
+        "MODEL_DIR_DICT": {"vilt": vilt_ckpt},
+        "txt_feat_size": 32, "img_feat_size": 32, "fixed_feat_size": 32,
+        "results_dir_mm_early": env["res"] + "/",
+    })
+    me = mods["mm_early"]
+    Config = mods["config"].Config
+
+    class Args:
+        task = 3
+        dropout = 0.0
+        weight_decay = WD
+        lr = LR
+        use_loss_correction = False
+        use_clip_loss = True
+        beta_itc = 0.1
+        use_tim_loss = False
+        beta_itm = 0.1
+        use_iadds_loss = False
+        beta_iadds = None
+
+    torch.manual_seed(30)
+    cfg = Config(Args(), model_name="vilt")
+    mm = me.MMEarly_Model(cfg, "vilt")
+    tr_l, va_l, te_l, weight = mm.load_data(cfg.data, img_file_fmt=cfg.img_fmt,
+                                            task_name=cfg.task_name)
+    tr_l = DataLoader(tr_l.dataset, collate_fn=mm.collate_fn,
+                      batch_size=cfg.batch_size, shuffle=False)
+
+    init_sd = {k: v.clone() for k, v in mm.model.state_dict().items()}
+    sd_path = str(tmp_path / "vilt_init.pth")
+    torch.save(init_sd, sd_path)
+
+    ce_losses, itc_losses = [], []
+    base_fn = nn.CrossEntropyLoss(weight=weight)
+
+    class CeRecorder(nn.Module):
+        def forward(self, out, target):
+            l = base_fn(out, target)
+            ce_losses.append(float(l.detach()))
+            return l
+
+    orig_clip = me.clip_loss
+
+    def clip_recorder(logits):
+        l = orig_clip(logits)
+        itc_losses.append(float(l.detach()))
+        return l
+
+    me.clip_loss = clip_recorder
+    try:
+        mm.train(tr_l, va_l, EPOCHS, CeRecorder(), LR, WD,
+                 val_filename=env["res"] + "/ref_vilt_metrics_val.csv")
+    finally:
+        me.clip_loss = orig_clip
+    return {"ce": ce_losses, "itc": itc_losses, "sd_path": sd_path,
+            "n_train_batches": len(tr_l)}
+
+
+def test_vilt_training_parity_vs_reference(tmp_path, monkeypatch):
+    """ViLT early fusion (tiny checkpoint, CE + beta_itc*ITC): per-step CE
+    and ITC components match the reference's torch loop (shuffle off,
+    dropout 0, identical init via the reference-ckpt importer)."""
+    import jax
+
+    # 32 rows -> 16+16 train batches at vilt's task-3 batch size 16
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=40)  # 32 train = 2 batches
+    vilt_ckpt = _make_vilt_ckpt2(tmp_path)
+    res = tmp_path / "res"
+    res.mkdir()
+    env = dict(csv=str(csv_path), img_fmt=img_fmt, res=str(res))
+    ref = _run_reference_vilt(env, vilt_ckpt, tmp_path)
+    n_tr = ref["n_train_batches"]
+
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import (
+        run_mm_early,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build_early import (
+        build_mm_early_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        hf_import as H,
+    )
+
+    patch_task(monkeypatch, C, 3, env["csv"], env["img_fmt"],
+               str(res) + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "vilt", vilt_ckpt)
+
+    args = run_mm_early.parse_args([
+        "--model", "vilt", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+        "--use_clip_loss",
+    ])
+    cfg = C.Config(args, model_name="vilt")
+    setup = build_mm_early_setup(args, cfg)
+    state = H.load_torch_file(ref["sd_path"])
+    tree = H.import_reference_vilt(state, setup.model.cfg.layers)
+    merged = H.merge_tower({"root": setup.params["params"]}, tree,
+                           path=("root",))
+    params = {"params": merged["root"]}
+    opt_state = setup.tx.init(params)
+
+    our_ce, our_itc = [], []
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_ce))
+        params, opt_state, m = setup.train_step(params, opt_state, batch, key)
+        our_ce.append(float(m["cls_loss"]))
+        our_itc.append(float(m["itc_loss"]))
+
+    np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
