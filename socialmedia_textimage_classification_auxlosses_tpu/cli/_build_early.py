@@ -120,6 +120,9 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             l_layers=(2 if args.arch != "base" else hf.get("l_layers", 9)),
             r_layers=(1 if args.arch != "base" else hf.get("r_layers", 5)),
             x_layers=(1 if args.arch != "base" else hf.get("x_layers", 5)),
+            # backbone dropout follows the checkpoint config, as the
+            # reference's LxmertModel.from_pretrained does (mm_early.py:113)
+            dropout=hf.get("hidden_dropout_prob", 0.1),
             dtype=args.dtype, attn_impl=args.attn_impl,
         )
         model = LxmertClassifier(lx_cfg, cfg.num_labels, dropout=cfg.dropout)

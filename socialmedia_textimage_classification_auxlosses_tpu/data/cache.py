@@ -108,10 +108,14 @@ class RoiFeatureCache:
     """Precomputed object features for the LXMERT path (reference
     ``datasets.py:289-294`` torch.loads two tensors per sample per epoch)."""
 
-    def __init__(self, cache_dir: str, num_boxes: int = 36, feat_dim: int = 2048):
+    def __init__(self, cache_dir: str, num_boxes: int = 36, feat_dim: int = 2048,
+                 feat_dtype=np.float16):
         self.cache_dir = cache_dir
         self.num_boxes = num_boxes
         self.feat_dim = feat_dim
+        # our own extractor caches fp16 (space); reference-dump imports keep
+        # the dumped fp32 bits so torch.load parity is exact
+        self.feat_dtype = np.dtype(feat_dtype)
         self.meta_path = os.path.join(cache_dir, "meta.json")
         self.feat_path = os.path.join(cache_dir, "features.npy")
         self.box_path = os.path.join(cache_dir, "boxes.npy")
@@ -127,7 +131,7 @@ class RoiFeatureCache:
 
     def write(self, ids, features: np.ndarray, boxes: np.ndarray):
         os.makedirs(self.cache_dir, exist_ok=True)
-        np.save(self.feat_path, features.astype(np.float16))
+        np.save(self.feat_path, features.astype(self.feat_dtype))
         np.save(self.box_path, boxes.astype(np.float32))
         self.index = {str(i): row for row, i in enumerate(ids)}
         with open(self.meta_path, "w") as f:
@@ -173,5 +177,6 @@ class RoiFeatureCache:
             return False
         self.num_boxes = feats[0].shape[0]
         self.feat_dim = feats[0].shape[1]
+        self.feat_dtype = np.dtype(feats[0].dtype)
         self.write(kept, np.stack(feats), np.stack(boxes))
         return True

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -167,9 +168,15 @@ class LxmertClassifier(nn.Module):
         fused = self._head(lang, deterministic)
         out_cls = self.linear(fused)
 
-        # masked max-pool ITC embeddings (mm_early.py:138-143)
+        # masked max-pool ITC embeddings (mm_early.py:138-143). The reference
+        # DETACHES the language states first (``x_t.clone().detach()``,
+        # mm_early.py:140 — torch forbids the in-place -1e9 masking on a
+        # grad leaf), so ITC's text-side gradient is stopped; the vision
+        # side (x_v, no detach) still backprops. Training parity requires
+        # mirroring the quirk (tests/test_reference_e2e_parity.py).
+        lang_sg = jax.lax.stop_gradient(lang)
         neg = jnp.asarray(-1e9, lang.dtype)
-        masked_lang = jnp.where(attention_mask[:, :, None] > 0, lang, neg)
+        masked_lang = jnp.where(attention_mask[:, :, None] > 0, lang_sg, neg)
         x_t = jnp.max(masked_lang, axis=1)
         x_v = jnp.max(vis, axis=1)
 

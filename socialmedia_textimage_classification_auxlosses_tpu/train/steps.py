@@ -102,10 +102,23 @@ def _accuracy_counts(cfg, preds, targets, valid):
 def _maybe_tim(cfg: LossConfig, rng, batch):
     if not cfg.use_tim_loss:
         return None, None
-    tim_ids, tim_mask, tim_tt, tim_labels, src = itm_swap(
-        rng, batch["ids"], batch["mask"], batch.get("token_type_ids"),
-        batch.get("valid"), return_src=True,
-    )
+    if "tim_src" in batch:
+        # injected swap pattern: the pipeline (or a parity harness) supplies
+        # the row-source indices and match labels instead of the in-step PRNG
+        # draw — used for custom negative-sampling policies and to pin the
+        # swap when comparing trajectories against the reference's host-RNG
+        # loop (mm_late.py:389-414)
+        src = batch["tim_src"]
+        tim_labels = batch["tim_labels"].astype(jnp.int32)
+        tt = batch.get("token_type_ids")
+        tim_ids = jnp.take(batch["ids"], src, axis=0)
+        tim_mask = jnp.take(batch["mask"], src, axis=0)
+        tim_tt = None if tt is None else jnp.take(tt, src, axis=0)
+    else:
+        tim_ids, tim_mask, tim_tt, tim_labels, src = itm_swap(
+            rng, batch["ids"], batch["mask"], batch.get("token_type_ids"),
+            batch.get("valid"), return_src=True,
+        )
     return {"ids": tim_ids, "mask": tim_mask, "token_type_ids": tim_tt,
             "src": src}, tim_labels
 

@@ -207,7 +207,17 @@ def _make_vit_ckpt(tmp_path):
     return str(ckpt)
 
 
-def _run_reference_mm(env, vit_ckpt, tmp_path):
+def _fixed_tim_pattern(step: int, b: int):
+    """Deterministic swap pattern injected into BOTH loops: odd rows
+    mismatch, partner offset rotates with the step (never self)."""
+    lbl = np.asarray([1 if i % 2 == 0 else 0 for i in range(b)], np.int64)
+    off = 1 + (step % max(b - 1, 1))
+    src = np.asarray([i if lbl[i] else (i + off) % b for i in range(b)],
+                     np.int64)
+    return src, lbl
+
+
+def _run_reference_mm(env, vit_ckpt, tmp_path, use_tim=False):
     import torch
     import torch.nn as nn
     from torch.utils.data import DataLoader
@@ -232,7 +242,7 @@ def _run_reference_mm(env, vit_ckpt, tmp_path):
         use_loss_correction = False
         use_clip_loss = True
         beta_itc = 0.1
-        use_tim_loss = False
+        use_tim_loss = use_tim
         beta_itm = 0.1
         use_iadds_loss = False
         beta_iadds = None
@@ -249,7 +259,7 @@ def _run_reference_mm(env, vit_ckpt, tmp_path):
     sd_path = str(tmp_path / "mm_init.pth")
     torch.save(init_sd, sd_path)
 
-    ce_losses, itc_losses = [], []
+    ce_losses, itc_losses, itm_losses = [], [], []
     base_fn = nn.CrossEntropyLoss(weight=weight)
 
     class CeRecorder(nn.Module):
@@ -257,6 +267,27 @@ def _run_reference_mm(env, vit_ckpt, tmp_path):
             l = base_fn(out, target)
             ce_losses.append(float(l.detach()))
             return l
+
+    tim_base = nn.CrossEntropyLoss()
+
+    class TimRecorder(nn.Module):
+        def forward(self, out, target):
+            l = tim_base(out, target)
+            itm_losses.append(float(l.detach()))
+            return l
+
+    if use_tim:
+        # pin the host-RNG negative sampling (mm_late.py:389-414) to the
+        # shared fixed pattern so trajectories are comparable
+        counter = {"n": 0}
+
+        def fixed_itm(ids, mask):
+            src, lbl = _fixed_tim_pattern(counter["n"], ids.shape[0])
+            counter["n"] += 1
+            return (ids[src], mask[src],
+                    torch.tensor(lbl, dtype=torch.long))
+
+        mm.prepare_itm_inputs = fixed_itm
 
     orig_clip = ml.clip_loss
 
@@ -269,11 +300,12 @@ def _run_reference_mm(env, vit_ckpt, tmp_path):
     try:
         val_csv = env["res"] + "/ref_mm_metrics_val.csv"
         mm.train(tr_l, va_l, EPOCHS, CeRecorder(), LR, WD,
+                 tim_loss_fn=TimRecorder() if use_tim else None,
                  val_filename=val_csv)
     finally:
         ml.clip_loss = orig_clip
-    return {"ce": ce_losses, "itc": itc_losses, "sd_path": sd_path,
-            "n_train_batches": len(tr_l)}
+    return {"ce": ce_losses, "itc": itc_losses, "itm": itm_losses,
+            "sd_path": sd_path, "n_train_batches": len(tr_l)}
 
 
 def test_mm_late_training_parity_vs_reference(tmp_path, monkeypatch):
@@ -333,6 +365,75 @@ def test_mm_late_training_parity_vs_reference(tmp_path, monkeypatch):
 
     np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_mm_late_tim_training_parity_vs_reference(tmp_path, monkeypatch):
+    """Full headline loss (CE + beta_itc*ITC + beta_itm*ITM): per-step CE,
+    ITC AND ITM components match the reference's torch loop with the
+    negative-sampling pattern pinned on both sides (the reference samples on
+    the host, mm_late.py:389-414; ours injects the same pattern through the
+    batch's ``tim_src``/``tim_labels`` hook)."""
+    import jax
+    import jax.numpy as jnp
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=24)
+    ckpt = _make_ckpt(tmp_path)
+    vit_ckpt = _make_vit_ckpt(tmp_path)
+    res = tmp_path / "res"
+    res.mkdir()
+    env = dict(csv=str(csv_path), img_fmt=img_fmt, ckpt=ckpt, res=str(res))
+    ref = _run_reference_mm(env, vit_ckpt, tmp_path, use_tim=True)
+    n_tr = ref["n_train_batches"]
+
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import (
+        run_mm_late,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_mm_late_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        hf_import as H,
+    )
+
+    patch_task(monkeypatch, C, 3, env["csv"], env["img_fmt"],
+               str(res) + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "bert", ckpt)
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "vit", vit_ckpt)
+
+    args = run_mm_late.parse_args([
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "attention", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+        "--use_clip_loss", "--use_tim_loss",
+    ])
+    cfg = C.Config(args)
+    setup = build_mm_late_setup(args, cfg)
+    params = H.maybe_import_reference_mm_late(setup.params, ref["sd_path"],
+                                              2, 2, "attention")
+    opt_state = setup.tx.init(params)
+
+    our_ce, our_itc, our_itm = [], [], []
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        src, lbl = _fixed_tim_pattern(len(our_ce), int(batch["ids"].shape[0]))
+        batch = dict(batch)
+        batch["tim_src"] = jnp.asarray(src)
+        batch["tim_labels"] = jnp.asarray(lbl)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_ce))
+        params, opt_state, m = setup.train_step(params, opt_state, batch, key)
+        our_ce.append(float(m["cls_loss"]))
+        our_itc.append(float(m["itc_loss"]))
+        our_itm.append(float(m["itm_loss"]))
+
+    np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(our_itm, ref["itm"][:n_tr], rtol=2e-3,
                                atol=2e-4)
 
 
@@ -430,6 +531,183 @@ def _run_reference_vilt(env, vilt_ckpt, tmp_path):
         me.clip_loss = orig_clip
     return {"ce": ce_losses, "itc": itc_losses, "sd_path": sd_path,
             "n_train_batches": len(tr_l)}
+
+
+# ---------------------------------------------------------------------------
+# LXMERT early fusion over shared ROI dumps: CE + ITC training parity
+# ---------------------------------------------------------------------------
+
+
+def _make_lxmert_ckpt(tmp_path):
+    import torch
+    from transformers import LxmertConfig, LxmertModel, LxmertTokenizer
+
+    vfile = tmp_path / "lx_vocab.txt"
+    vfile.write_text("\n".join(VOCAB) + "\n")
+    torch.manual_seed(3)
+    cfg = LxmertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_attention_heads=2,
+        intermediate_size=64, l_layers=2, x_layers=1, r_layers=1,
+        visual_feat_dim=16, visual_pos_dim=4,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    lx = LxmertModel(cfg)
+    ckpt = tmp_path / "lxmert_ckpt"
+    lx.save_pretrained(str(ckpt), safe_serialization=False)
+    LxmertTokenizer(str(vfile), do_lower_case=True).save_pretrained(str(ckpt))
+    return str(ckpt)
+
+
+def _make_roi_dumps(data_path, ids, num_boxes=5, feat_dim=16):
+    """Reference-format per-sample FRCNN dumps (datasets.py:289-294 loads
+    ``{task}_img_feats/{features,boxes}/`` per epoch; obj_features.py saves
+    them with the leading batch dim the train loop later squeezes)."""
+    import torch
+
+    feat_dir = os.path.join(data_path, "mvsa_img_feats", "features")
+    box_dir = os.path.join(data_path, "mvsa_img_feats", "boxes")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(box_dir, exist_ok=True)
+    g = torch.Generator().manual_seed(7)
+    for i in ids:
+        torch.save(torch.randn(1, num_boxes, feat_dim, generator=g),
+                   os.path.join(feat_dir, f"feat_{i}"))
+        torch.save(torch.rand(1, num_boxes, 4, generator=g),
+                   os.path.join(box_dir, f"nbox_{i}"))
+
+
+def _run_reference_lxmert(env, lx_ckpt, data_path, tmp_path):
+    import torch
+    import torch.nn as nn
+    from torch.utils.data import DataLoader
+
+    from ref_harness import load_reference
+
+    mods = load_reference({
+        "PATH": {3: env["csv"]},
+        "IMG_FMT": {3: env["img_fmt"]},
+        "MODEL_DIR_DICT": {"lxmert": lx_ckpt},
+        "DATA_PATH": data_path,
+        "txt_feat_size": 32, "img_feat_size": 32, "fixed_feat_size": 32,
+        "results_dir_mm_early": env["res"] + "/",
+    })
+    # datasets.py binds DATA_PATH at import (``from config import DATA_PATH``)
+    mods["datasets"].DATA_PATH = data_path
+    me = mods["mm_early"]
+    Config = mods["config"].Config
+
+    class Args:
+        task = 3
+        dropout = 0.0
+        weight_decay = WD
+        lr = LR
+        use_loss_correction = False
+        use_clip_loss = True
+        beta_itc = 0.1
+        use_tim_loss = False
+        beta_itm = 0.1
+        use_iadds_loss = False
+        beta_iadds = None
+
+    torch.manual_seed(30)
+    cfg = Config(Args(), model_name="lxmert")
+    mm = me.MMEarly_Model(cfg, "lxmert")
+    tr_l, va_l, te_l, weight = mm.load_data(cfg.data, img_file_fmt=cfg.img_fmt,
+                                            task_name=cfg.task_name)
+    tr_l = DataLoader(tr_l.dataset, batch_size=cfg.batch_size, shuffle=False)
+
+    init_sd = {k: v.clone() for k, v in mm.model.state_dict().items()}
+    sd_path = str(tmp_path / "lxmert_init.pth")
+    torch.save(init_sd, sd_path)
+
+    ce_losses, itc_losses = [], []
+    base_fn = nn.CrossEntropyLoss(weight=weight)
+
+    class CeRecorder(nn.Module):
+        def forward(self, out, target):
+            l = base_fn(out, target)
+            ce_losses.append(float(l.detach()))
+            return l
+
+    orig_clip = me.clip_loss
+
+    def clip_recorder(logits):
+        l = orig_clip(logits)
+        itc_losses.append(float(l.detach()))
+        return l
+
+    me.clip_loss = clip_recorder
+    try:
+        mm.train(tr_l, va_l, EPOCHS, CeRecorder(), LR, WD,
+                 val_filename=env["res"] + "/ref_lx_metrics_val.csv")
+    finally:
+        me.clip_loss = orig_clip
+    return {"ce": ce_losses, "itc": itc_losses, "sd_path": sd_path,
+            "n_train_batches": len(tr_l)}
+
+
+def test_lxmert_training_parity_vs_reference(tmp_path, monkeypatch):
+    """LXMERT early fusion over shared reference-format ROI dumps
+    (CE + beta_itc*ITC): per-step CE and ITC components match the
+    reference's torch loop (shuffle off, dropout 0, identical init via the
+    reference-ckpt importer, both sides reading the same FRCNN dumps)."""
+    import jax
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=40)  # 32 train = 2 batches
+    lx_ckpt = _make_lxmert_ckpt(tmp_path)
+    res = tmp_path / "res"
+    res.mkdir()
+    data_path = str(res) + "/ours/data/"  # == patch_task's C.DATA_PATH
+    _make_roi_dumps(data_path, df["tweet_id"].tolist())
+    env = dict(csv=str(csv_path), img_fmt=img_fmt, res=str(res))
+    ref = _run_reference_lxmert(env, lx_ckpt, data_path, tmp_path)
+    n_tr = ref["n_train_batches"]
+
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import (
+        run_mm_early,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build_early import (
+        build_mm_early_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        hf_import as H,
+    )
+
+    patch_task(monkeypatch, C, 3, env["csv"], env["img_fmt"],
+               str(res) + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "lxmert", lx_ckpt)
+
+    args = run_mm_early.parse_args([
+        "--model", "lxmert", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+        "--use_clip_loss", "--arch", "base",
+    ])
+    cfg = C.Config(args, model_name="lxmert")
+    setup = build_mm_early_setup(args, cfg)
+    lx = setup.model.cfg
+    assert (lx.l_layers, lx.r_layers, lx.x_layers) == (2, 1, 1)
+    state = H.load_torch_file(ref["sd_path"])
+    tree = H.import_reference_lxmert(state, lx.l_layers, lx.r_layers,
+                                     lx.x_layers)
+    merged = H.merge_tower({"root": setup.params["params"]}, tree,
+                           path=("root",))
+    params = {"params": merged["root"]}
+    opt_state = setup.tx.init(params)
+
+    our_ce, our_itc = [], []
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_ce))
+        params, opt_state, m = setup.train_step(params, opt_state, batch, key)
+        our_ce.append(float(m["cls_loss"]))
+        our_itc.append(float(m["itc_loss"]))
+
+    np.testing.assert_allclose(our_ce, ref["ce"][:n_tr], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_itc, ref["itc"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
 
 
 def test_vilt_training_parity_vs_reference(tmp_path, monkeypatch):
