@@ -32,7 +32,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
-                 opt_impl: str = "lazy_emb", cache_vision: bool = False):
+                 opt_impl: str = "lazy_emb", cache_vision: bool = False,
+                 steps_per_dispatch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +42,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         any_of, make_optimizer, vision_frozen_predicate,
     )
     from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
-        LossConfig, make_train_step,
+        LossConfig, make_train_many, make_train_step,
     )
 
     model, params, batch = G._flagship(arch="base", dtype=dtype,
@@ -93,14 +94,41 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     if lazy_cfg is not None:
         opt_state = {"tx": opt_state,
                      "lazy_emb": init_lazy_state(params, lazy_cfg)}
-    step = make_train_step(forward_fn, loss_cfg, tx,
-                           class_weights=jnp.ones(NUM_LABELS),
-                           lazy_emb_cfg=lazy_cfg)
-
     key = jax.random.PRNGKey(0)
-    # warmup / compile
-    params, opt_state, metrics = step(params, opt_state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    if steps_per_dispatch > 1:
+        # Scanned multi-step dispatch (train.steps.make_train_many): K
+        # optimizer steps per device call — one host->device round trip per
+        # K steps instead of per step. Same step body, bit-identical
+        # trajectory (tests/test_train_many.py).
+        steps = steps_per_dispatch
+        many = make_train_many(forward_fn, loss_cfg, tx,
+                               class_weights=jnp.ones(NUM_LABELS),
+                               lazy_emb_cfg=lazy_cfg)
+        stacked = {k: jnp.stack([v] * steps) for k, v in batch.items()}
+        params, opt_state, metrics = many(params, opt_state, stacked, key, 0)
+        jax.block_until_ready(metrics["loss"])
+
+        def run_rep(r):
+            nonlocal params, opt_state
+            params, opt_state, m = many(params, opt_state, stacked, key,
+                                        (r + 1) * steps)
+            return m
+    else:
+        step = make_train_step(forward_fn, loss_cfg, tx,
+                               class_weights=jnp.ones(NUM_LABELS),
+                               lazy_emb_cfg=lazy_cfg)
+        # warmup / compile
+        params, opt_state, metrics = step(params, opt_state, batch, key)
+        jax.block_until_ready(metrics["loss"])
+
+        def run_rep(r):
+            nonlocal params, opt_state
+            for i in range(steps):
+                params, opt_state, metrics = step(
+                    params, opt_state, batch,
+                    jax.random.fold_in(key, r * steps + i))
+            return metrics
+
     # The TPU here is a shared, tunneled chip: single timing windows swing
     # >10x with pool contention (measured 20-413 posts/s for identical
     # code). Report the best of several short reps — the standard min-time
@@ -109,14 +137,12 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     best = 0.0
     for r in range(reps):
         t0 = time.perf_counter()
-        for i in range(steps):
-            params, opt_state, metrics = step(params, opt_state, batch,
-                                              jax.random.fold_in(key, r * steps + i))
+        metrics = run_rep(r)
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
         print(f"# rep {r}: {steps / dt * BATCH:.1f} posts/s", file=sys.stderr)
         best = max(best, steps / dt)
-    return best, float(metrics["loss"])
+    return best, float(np.ravel(np.asarray(metrics["loss"]))[-1])
 
 
 def measure_torch_baseline(steps: int = 10):
@@ -224,6 +250,11 @@ def main():
                              "amortised over all epochs)")
     parser.add_argument("--no_cache_vision", dest="cache_vision",
                         action="store_false")
+    parser.add_argument("--steps_per_dispatch", type=int,
+                        default=int(os.environ.get("SMTC_BENCH_SPD", "10")),
+                        help="optimizer steps per device dispatch (scanned "
+                             "multi-step, train.steps.make_train_many; 1 = "
+                             "per-step dispatch)")
     args = parser.parse_args()
 
     baseline = None
@@ -242,14 +273,16 @@ def main():
             json.dump(baseline, f, indent=1)
 
     try:
-        steps_per_sec, loss = measure_ours(args.steps, attn_impl=args.attn_impl,
-                                           opt_impl=args.opt_impl,
-                                           cache_vision=args.cache_vision)
+        steps_per_sec, loss = measure_ours(
+            args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
+            cache_vision=args.cache_vision,
+            steps_per_dispatch=args.steps_per_dispatch)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
-        steps_per_sec, loss = measure_ours(args.steps, attn_impl="jnp",
-                                           opt_impl=args.opt_impl,
-                                           cache_vision=args.cache_vision)
+        steps_per_sec, loss = measure_ours(
+            args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
+            cache_vision=args.cache_vision,
+            steps_per_dispatch=args.steps_per_dispatch)
 
     posts_per_sec = steps_per_sec * BATCH
     print(json.dumps({

@@ -33,7 +33,8 @@ from ..parallel.mesh import MeshPlan, make_mesh_plan
 from ..train.optim import (any_of, batch_stats_predicate,
                            feature_extract_predicate, make_optimizer,
                            vision_frozen_predicate, count_params)
-from ..train.steps import LossConfig, make_eval_step, make_feature_step, make_train_step
+from ..train.steps import (LossConfig, make_eval_step, make_feature_step,
+                           make_train_many, make_train_step)
 from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -55,6 +56,7 @@ class Setup:
     class_weights: Optional[jnp.ndarray]
     pipes: Dict[str, SplitPipeline]
     image_norm: Optional[tuple] = None
+    train_many: Optional[Callable] = None
 
 
 def make_mesh(args) -> MeshPlan:
@@ -113,6 +115,8 @@ def _finish(setup_kwargs, args, cfg, frozen_pred=None):
         tx=tx,
         opt_state=opt_state,
         train_step=make_train_step(fwd, loss_cfg, tx, class_weights=cw,
+                                   lazy_emb_cfg=lazy_cfg),
+        train_many=make_train_many(fwd, loss_cfg, tx, class_weights=cw,
                                    lazy_emb_cfg=lazy_cfg),
         eval_step=make_eval_step(fwd, loss_cfg, class_weights=cw),
         feature_step=make_feature_step(fwd),

@@ -81,6 +81,13 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                                  "per image (first touch computes, later "
                                  "epochs skip the tower entirely; late-fusion "
                                  "transformer towers only)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps per device dispatch: >1 scans "
+                             "K steps in ONE compiled call (lax.scan over "
+                             "stacked batches; bit-identical trajectory, "
+                             "tests/test_train_many.py). Hides host->device "
+                             "dispatch latency — the datasets are small "
+                             "enough that whole epoch chunks fit in HBM")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest Orbax checkpoint")
     parser.add_argument("--ckpt_every", type=int, default=0,

@@ -59,7 +59,8 @@ def main(argv=None):
         multilabel=cfg.multilabel, num_labels=cfg.num_labels,
         metric_names=C.metric_names, log_every=args.log_every,
         profile_dir=args.profile, log_jsonl=args.log_jsonl,
-        resume=args.resume,
+        resume=args.resume, train_many=setup.train_many,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     logger.info("Training")

@@ -172,6 +172,57 @@ class SplitPipeline:
             yield pending
 
 
+    def device_iter_chunks(self, chunk_steps: int, shuffle=False, rng=None,
+                           mesh_plan=None):
+        """``chunk_steps`` consecutive batches stacked into one ``(K, B, ...)``
+        device transfer, for the scanned multi-step dispatch
+        (``train.steps.make_train_many``): one host->device dispatch per K
+        optimizer steps instead of per step. The epoch tail is padded with
+        duplicates of the last batch carrying ``step_valid = 0`` (skipped
+        inside the scan), so every chunk reuses ONE compiled scan shape.
+
+        Single-process only (a pod's per-host row slicing composes with the
+        per-step ``device_iter`` path instead)."""
+        import jax
+
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "chunked dispatch is single-process; use device_iter on pods")
+        put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
+               else jax.device_put)
+
+        def stack(chunk):
+            k = len(chunk)
+            step_valid = np.ones(chunk_steps, np.float32)
+            if k < chunk_steps:
+                chunk = chunk + [chunk[-1]] * (chunk_steps - k)
+                step_valid[k:] = 0.0
+            out = {key: np.stack([b[key] for b in chunk])
+                   for key in chunk[0]}
+            out["step_valid"] = step_valid
+            return out, k
+
+        pending = None
+        chunk: list = []
+        for batch in self.batches(shuffle=shuffle, rng=rng):
+            chunk.append(batch)
+            if len(chunk) == chunk_steps:
+                nxt = stack(chunk)
+                chunk = []
+                nxt = (put(nxt[0]), nxt[1])
+                if pending is not None:
+                    yield pending
+                pending = nxt
+        if chunk:
+            nxt = stack(chunk)
+            nxt = (put(nxt[0]), nxt[1])
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+
 class MMBTBatcher:
     """MMBT-style samples (reference ``MMBT_Dataset``, datasets.py:356-402):
     sentence token ids with the [CLS]/[SEP] ids split off as image start/end

@@ -76,6 +76,18 @@ class MeshPlan:
     def shard_batch(self, batch):
         return jax.device_put(batch, self.batch_sharding())
 
+    def shard_batch_stacked(self, batches):
+        """A ``(K, B, ...)`` chunk of stacked batches: the batch axis is
+        axis 1, so the data axis shards that. Per-chunk scalars/vectors
+        (``step_valid``, shape ``(K,)``) replicate."""
+        stacked = NamedSharding(self.mesh, P(None, "data"))
+        rep = self.replicated()
+
+        def put(x):
+            return jax.device_put(x, stacked if np.ndim(x) >= 2 else rep)
+
+        return {k: put(v) for k, v in batches.items()}
+
     # -- multi-host input sharding -------------------------------------------
 
     def process_rows(self, global_batch_size: int):

@@ -1,0 +1,175 @@
+"""Pipeline parallelism over the scanned layer stack (GPipe schedule).
+
+The reference is single-device (reference ``mm_late.py:30``) and none of its
+models exceed ~300M params, so SURVEY.md section 2.3 marks PP "not needed —
+design leaves layers scannable for future PP". This module is that future:
+a working pipeline-parallel execution of any stacked-layer transformer
+(``EncoderConfig.scan_layers`` layout, params carrying a leading layer axis)
+over a ``pipe`` mesh axis.
+
+TPU-native design (jax-ml.github.io/scaling-book pipelining recipe):
+
+* the mesh gains a ``pipe`` axis; each of the S stages holds L/S contiguous
+  layers (the stacked param tree is sharded on its leading axis);
+* the global batch splits into M microbatches; a ``shard_map`` runs the
+  classic GPipe schedule as a ``lax.scan`` over M + S - 1 ticks, each tick
+  applying the stage's local layers and handing activations to the next
+  stage with a single ``ppermute`` hop over ICI (the key-padding mask
+  travels with its microbatch through the same rotation);
+* the WHOLE schedule is differentiable: ``jax.grad`` through the scan +
+  ppermute yields the reverse pipeline (ppermute transposes to the opposite
+  rotation), so the train step needs no hand-written backward schedule;
+* bubble fraction is the textbook (S-1)/(M+S-1); pick M >= 4*S where the
+  batch allows.
+
+Composes with the ``data`` axis: microbatch rows stay sharded over ``data``
+while the layer axis is sharded over ``pipe`` (tests/test_pipeline.py runs a
+data=2 x pipe=4 mesh on the virtual-CPU backend and asserts output and
+gradient parity with the sequential stack).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _stage_apply(layer_fn: Callable, local_params, x, key_mask):
+    """Apply this stage's L/S stacked layers sequentially (lax.scan)."""
+
+    def body(h, p_one):
+        return layer_fn(p_one, h, key_mask), None
+
+    out, _ = jax.lax.scan(body, x, local_params)
+    return out
+
+
+def pipeline_apply(layer_fn, stacked_params, x, key_mask, *,
+                   num_microbatches: int, axis_name: str = "pipe"):
+    """GPipe forward for one device's shard — call INSIDE shard_map.
+
+    ``layer_fn(params_one_layer, h, key_mask) -> h`` applies a single layer.
+    ``stacked_params``: this stage's local shard, leading axis = local
+    layers. ``x``: the stage-local batch rows ``(B, T, H)`` (replicated over
+    the pipe axis; only stage 0 reads it). ``key_mask``: ``(B, T)`` padding
+    mask; it rotates stage-to-stage alongside the activations, since each
+    stage processes a microbatch that lags stage 0 by the stage index.
+    Returns the final hidden states, replicated over the pipe axis.
+    """
+    s = jax.lax.axis_index(axis_name)
+    nstages = jax.lax.psum(1, axis_name)
+    m = num_microbatches
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    mb = b // m
+    micro = x.reshape(m, mb, *x.shape[1:])
+    mask_micro = key_mask.reshape(m, mb, *key_mask.shape[1:])
+
+    fwd_perm = [(i, (i + 1) % nstages) for i in range(nstages)]
+    nticks = m + nstages - 1
+
+    def tick(carry, t):
+        act, act_mask, outputs = carry
+        # stage 0 ingests microbatch t (clamped; ticks >= m feed rows that
+        # never reach the banked output window), later stages consume the
+        # rotated activations + mask
+        t_in = jnp.clip(t, 0, m - 1)
+        inp = jnp.where(s == 0, micro[t_in], act)
+        km = jnp.where(s == 0, mask_micro[t_in], act_mask)
+        out = _stage_apply(layer_fn, stacked_params, inp, km)
+        # the last stage banks microbatch t - (S-1)
+        j = t - (nstages - 1)
+        bank = jnp.logical_and(s == nstages - 1, j >= 0)
+        outputs = jax.lax.cond(
+            bank,
+            lambda o: jax.lax.dynamic_update_slice(
+                o, out[None].astype(o.dtype),
+                (jnp.maximum(j, 0),) + (0,) * out.ndim),
+            lambda o: o,
+            outputs,
+        )
+        act_next = jax.lax.ppermute(out, axis_name, fwd_perm)
+        mask_next = jax.lax.ppermute(km, axis_name, fwd_perm)
+        return (act_next, mask_next, outputs), None
+
+    act0 = jnp.zeros((mb,) + x.shape[1:], x.dtype)
+    mask0 = jnp.zeros((mb,) + key_mask.shape[1:], key_mask.dtype)
+    out0 = jnp.zeros((m, mb) + x.shape[1:], x.dtype)
+    (_, _, outputs), _ = jax.lax.scan(
+        tick, (act0, mask0, out0), jnp.arange(nticks))
+    # replicate the last stage's banked outputs to every pipe rank
+    outputs = jax.lax.psum(
+        jnp.where(s == nstages - 1, outputs, jnp.zeros_like(outputs)),
+        axis_name,
+    )
+    return outputs.reshape(b, *x.shape[1:])
+
+
+def make_pipelined_stack(
+    layer_fn: Callable,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+    data_axis: Optional[str] = "data",
+):
+    """shard_map-wrapped pipelined layer stack.
+
+    Returns ``run(stacked_params, x, key_mask) -> hidden`` where
+    ``stacked_params`` leaves carry a leading layer axis (sharded over
+    ``pipe_axis``), ``x`` is ``(B, T, H)`` (rows shardable over
+    ``data_axis``), and the output matches the sequential stack.
+    """
+    nstages = mesh.shape[pipe_axis]
+    dspec = data_axis if (data_axis and data_axis in mesh.shape) else None
+
+    param_specs = P(pipe_axis)  # leading layer axis sharded over stages
+    x_spec = P(dspec)           # rows over data, replicated over pipe
+
+    def inner(stacked_params, x, key_mask):
+        return pipeline_apply(
+            layer_fn, stacked_params, x, key_mask,
+            num_microbatches=num_microbatches, axis_name=pipe_axis)
+
+    def run(stacked_params, x, key_mask=None):
+        n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+        if n_layers % nstages:
+            raise ValueError(
+                f"{n_layers} layers not divisible by {nstages} pipeline stages")
+        if key_mask is None:
+            key_mask = jnp.ones(x.shape[:2], jnp.int32)
+        f = shard_map(
+            inner, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: param_specs,
+                                             stacked_params),
+                      x_spec, x_spec),
+            out_specs=x_spec,
+            check_rep=False,
+        )
+        return f(stacked_params, x, key_mask)
+
+    return run
+
+
+def make_pp_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
+    """(data, pipe) mesh; pipe is the minor axis so stage hops ride
+    neighbouring ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    if data * pipe > len(devices):
+        raise ValueError(f"mesh {data}x{pipe} exceeds {len(devices)} devices")
+    arr = np.asarray(devices[: data * pipe]).reshape(data, pipe)
+    return Mesh(arr, ("data", "pipe"))
+
+
+def shard_stacked_params(mesh: Mesh, stacked_params, pipe_axis: str = "pipe"):
+    """Place a stacked-layer param tree with its leading axis over the pipe
+    stages (device_put with a NamedSharding per leaf)."""
+    sh = NamedSharding(mesh, P(pipe_axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh),
+                                  stacked_params)

@@ -47,8 +47,14 @@ class Trainer:
         profile_dir: Optional[str] = None,
         log_jsonl: Optional[str] = None,
         resume: bool = False,
+        train_many=None,
+        steps_per_dispatch: int = 1,
     ):
         self.train_step = train_step
+        # scanned multi-step dispatch (steps.make_train_many): one device
+        # dispatch per `steps_per_dispatch` optimizer steps
+        self.train_many = train_many
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.eval_step = eval_step
         self.params = params
         self.opt_state = opt_state
@@ -90,6 +96,82 @@ class Trainer:
 
     # -- train --------------------------------------------------------------
 
+    def _fit_epoch_chunked(self, train_pipe, epoch):
+        """Epoch via the scanned multi-step dispatch: K optimizer steps per
+        device call (steps.make_train_many). Bit-identical trajectory to the
+        per-step path — the scan folds the same (root_key, global_step) RNG."""
+        seen = 0
+        last_metrics = None
+        for batches, k_real in train_pipe.device_iter_chunks(
+            self.steps_per_dispatch, shuffle=True, rng=self.host_rng,
+            mesh_plan=self.mesh_plan,
+        ):
+            prev_step = self.global_step
+            self.params, self.opt_state, metrics = self.train_many(
+                self.params, self.opt_state, batches, self.root_key,
+                self.global_step,
+            )
+            self.global_step += k_real
+            seen += k_real * int(train_pipe.cfg.batch_size)
+            last_metrics = metrics
+            if (prev_step // max(self.log_every, 1)
+                    != self.global_step // max(self.log_every, 1)):
+                # chunk summary: mean over the chunk's real steps
+                m = {k: np.asarray(v)[:k_real] for k, v in metrics.items()}
+                acc = 100.0 * float(m["correct"].sum()) / max(
+                    float(m["n"].sum()), 1.0)
+                mean = {k: float(np.mean(v)) for k, v in m.items()
+                        if k not in ("correct", "n")}
+                logger.info("step %d loss %.4f acc %.2f%% (chunk of %d)",
+                            self.global_step, mean["loss"], acc, k_real)
+                self._write_jsonl({"kind": "train", "step": self.global_step,
+                                   "epoch": epoch, "accuracy": acc, **mean})
+            if self.checkpointer is not None and (
+                prev_step // self.checkpointer.every_steps
+                != self.global_step // self.checkpointer.every_steps
+            ):
+                self.checkpointer.save(
+                    self.global_step,
+                    {"params": self.params, "opt_state": self.opt_state,
+                     "step": self.global_step, "epoch": epoch},
+                )
+        return seen, last_metrics
+
+    def _epoch_tail(self, train_pipe, epoch, t_epoch, seen, last_metrics):
+        if last_metrics is not None:
+            jax.block_until_ready(last_metrics["loss"])
+        dt = time.perf_counter() - t_epoch
+        nb = train_pipe.num_batches
+        logger.info("epoch %d: %.1fs, %.2f steps/s, %.1f posts/s",
+                    epoch + 1, dt, nb / dt, seen / dt)
+        self._write_jsonl({"kind": "epoch", "epoch": epoch, "seconds": dt,
+                           "steps_per_sec": nb / dt, "posts_per_sec": seen / dt})
+
+    def _epoch_eval(self, val_pipe, te_pipe, epoch, epochs, res_val, res_te,
+                    val_filename, te_filename):
+        """Per-epoch val/test eval + the reference's every-2-epochs CSV cadence
+        (mm_late.py:508-527). Appends to res_val/res_te in place."""
+        import pandas as pd
+
+        res_val_d = self.evaluate(val_pipe)
+        res_val_d["epoch"] = epoch
+        res_val.append(res_val_d)
+        if val_filename and (epoch % 2 == 0 or epoch == epochs - 1):
+            table = agg_metrics_val(res_val, self.metric_names,
+                                    self.num_labels, self.multilabel)
+            pd.DataFrame(table).to_csv(val_filename, index=False)
+            logger.info("%s saved!", val_filename)
+
+        if te_pipe is not None:
+            res_te_d = self.evaluate(te_pipe)
+            res_te_d["epoch"] = epoch
+            res_te.append(res_te_d)
+            if te_filename and (epoch % 2 == 0 or epoch == epochs - 1):
+                table = agg_metrics_val(res_te, self.metric_names,
+                                        self.num_labels, self.multilabel)
+                pd.DataFrame(table).to_csv(te_filename, index=False)
+                logger.info("%s saved!", te_filename)
+
     def fit(
         self,
         train_pipe,
@@ -100,8 +182,6 @@ class Trainer:
         te_filename: Optional[str] = None,
         model_path: Optional[str] = None,
     ):
-        import pandas as pd
-
         # Restore only on explicit opt-in: the reference never auto-resumes
         # (mm_late.py:343-345 is an explicit load), so a rerun into a results
         # dir holding stale checkpoints must start from step 0.
@@ -117,6 +197,15 @@ class Trainer:
                 t_epoch = time.perf_counter()
                 seen = 0
                 last_metrics = None
+                if self.train_many is not None and self.steps_per_dispatch > 1:
+                    seen, last_metrics = self._fit_epoch_chunked(
+                        train_pipe, epoch)
+                    self._epoch_tail(train_pipe, epoch, t_epoch, seen,
+                                     last_metrics)
+                    self._epoch_eval(val_pipe, te_pipe, epoch, epochs,
+                                     res_val, res_te, val_filename,
+                                     te_filename)
+                    continue
                 for i, batch in enumerate(
                     train_pipe.device_iter(shuffle=True, rng=self.host_rng,
                                            mesh_plan=self.mesh_plan)
@@ -148,37 +237,10 @@ class Trainer:
                             {"params": self.params, "opt_state": self.opt_state,
                              "step": self.global_step, "epoch": epoch},
                         )
-                if last_metrics is not None:
-                    jax.block_until_ready(last_metrics["loss"])
-                dt = time.perf_counter() - t_epoch
-                nb = train_pipe.num_batches
-                logger.info(
-                    "epoch %d: %.1fs, %.2f steps/s, %.1f posts/s",
-                    epoch + 1, dt, nb / dt, seen / dt,
-                )
-                self._write_jsonl(
-                    {"kind": "epoch", "epoch": epoch, "seconds": dt,
-                     "steps_per_sec": nb / dt, "posts_per_sec": seen / dt}
-                )
-
-                res_val_d = self.evaluate(val_pipe)
-                res_val_d["epoch"] = epoch
-                res_val.append(res_val_d)
-                if val_filename and (epoch % 2 == 0 or epoch == epochs - 1):
-                    table = agg_metrics_val(res_val, self.metric_names,
-                                            self.num_labels, self.multilabel)
-                    pd.DataFrame(table).to_csv(val_filename, index=False)
-                    logger.info("%s saved!", val_filename)
-
-                if te_pipe is not None:
-                    res_te_d = self.evaluate(te_pipe)
-                    res_te_d["epoch"] = epoch
-                    res_te.append(res_te_d)
-                    if te_filename and (epoch % 2 == 0 or epoch == epochs - 1):
-                        table = agg_metrics_val(res_te, self.metric_names,
-                                                self.num_labels, self.multilabel)
-                        pd.DataFrame(table).to_csv(te_filename, index=False)
-                        logger.info("%s saved!", te_filename)
+                self._epoch_tail(train_pipe, epoch, t_epoch, seen,
+                                 last_metrics)
+                self._epoch_eval(val_pipe, te_pipe, epoch, epochs,
+                                 res_val, res_te, val_filename, te_filename)
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()

@@ -244,6 +244,82 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_train_many(
+    forward_fn: Callable,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    class_weights=None,
+    donate: bool = True,
+    lazy_emb_cfg=None,
+):
+    """K train steps in ONE device dispatch (``lax.scan`` over stacked
+    batches).
+
+    The reference dispatches one optimizer step per host-loop iteration
+    (mm_late.py:427-504); under jit the host round-trip is already async,
+    but on a remote/tunneled TPU each dispatch still pays host->device
+    latency. The datasets here are tiny (3.6-4k posts, SURVEY.md section 6),
+    so whole chunks of an epoch fit in HBM: ``many`` scans the *identical*
+    step body over a ``(K, B, ...)`` batch stack, giving one dispatch (and
+    one compiled while-loop) per K steps.
+
+    Trajectory equivalence with the per-step loop is exact: the scan folds
+    ``root_key`` with the same global step index the loop would
+    (``fold_in(root_key, step0 + i)``), so scanned and unscanned runs
+    produce bit-identical params (tests/test_train_many.py).
+
+    The stacked batch may carry a per-step scalar ``step_valid`` (shape
+    ``(K,)``); steps with ``step_valid == 0`` are skipped entirely via
+    ``lax.cond`` (params/opt state pass through untouched) — this pads the
+    epoch tail to a fixed K so every chunk reuses one compiled scan.
+    """
+    step = make_train_step_fn(forward_fn, loss_cfg, tx, class_weights,
+                              lazy_emb_cfg=lazy_emb_cfg)
+
+    def many(params, opt_state, batches, root_key, step0):
+        step_valid = batches.get("step_valid")
+        data = {k: v for k, v in batches.items() if k != "step_valid"}
+        k_steps = jax.tree_util.tree_leaves(data)[0].shape[0]
+        has_padding = step_valid is not None
+
+        def body(carry, xs):
+            p, s = carry
+            b, i, sv = xs
+            key = jax.random.fold_in(root_key, step0 + i)
+
+            def run(args):
+                p, s = args
+                return step(p, s, b, key)
+
+            if not has_padding:
+                p, s, m = run((p, s))
+            else:
+                # Padded tail steps: the skip branch never traces the model —
+                # metric zeros come from eval_shape, params/opt state pass
+                # through untouched (so optimizer moments do NOT decay on
+                # phantom steps).
+                m_shapes = jax.eval_shape(run, (p, s))[2]
+
+                def skip(args):
+                    p, s = args
+                    zero = jax.tree_util.tree_map(
+                        lambda sd: jnp.zeros(sd.shape, sd.dtype), m_shapes)
+                    return p, s, zero
+
+                p, s, m = jax.lax.cond(sv > 0, run, skip, (p, s))
+            return (p, s), m
+
+        xs = (data, jnp.arange(k_steps),
+              step_valid if has_padding
+              else jnp.ones((k_steps,), jnp.float32))
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), xs)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(many, donate_argnums=donate_argnums)
+
+
 def make_eval_step_fn(forward_fn: Callable, loss_cfg: LossConfig,
                       class_weights=None):
     """Unjitted eval body — vmappable and jittable."""
