@@ -46,10 +46,15 @@ def _read_spm_pieces(model_path: str):
 
 
 class SentencePieceBPE:
-    """SentencePiece-BPE encoder over a parsed ModelProto (XLM-R family)."""
+    """SentencePiece-BPE encoder over a parsed ModelProto (XLM-R family).
+
+    The merge loop runs in C++ when the native library is available
+    (csrc/tokenizer.cpp ``spbpe_*``, bit-parity tested in
+    tests/test_native_bpe.py); normalization and the ``▁`` marker stay
+    Python-side either way."""
 
     def __init__(self, model_path: str, max_length: int,
-                 use_token_types: bool = False):
+                 use_token_types: bool = False, use_native: bool = True):
         pieces = _read_spm_pieces(model_path)
         self.scores = {}
         self.sp_ids = {}
@@ -63,6 +68,18 @@ class SentencePieceBPE:
         # specials pinned.
         self.bos_id, self.pad_token_id, self.eos_id, self.unk_id = 0, 1, 2, 3
         self.offset = 1
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeSpBpe
+
+                self._native = NativeSpBpe(
+                    [p for p, _, _ in pieces],
+                    np.array([s for _, s, _ in pieces], np.float32),
+                    np.array([t == SPM_NORMAL for _, _, t in pieces], np.uint8),
+                )
+            except Exception:
+                self._native = None
 
     # -- sentencepiece text pipeline -----------------------------------------
 
@@ -108,8 +125,17 @@ class SentencePieceBPE:
             return self.unk_id
         return sp + self.offset
 
+    def _marked(self, text: str) -> str:
+        text = self._normalize(str(text))
+        return ("▁" + text.replace(" ", "▁")) if text else ""
+
     def encode_batch(self, texts: List[str]):
         n, L = len(texts), self.max_length
+        if self._native is not None:
+            ids, mask = self._native.encode_batch(
+                [self._marked(t) for t in texts], L)
+            tt = np.zeros((n, L), np.int32) if self.use_token_types else None
+            return ids, mask, tt
         ids = np.full((n, L), self.pad_token_id, np.int32)
         mask = np.zeros((n, L), np.int32)
         for i, text in enumerate(texts):
@@ -122,10 +148,22 @@ class SentencePieceBPE:
 
 
 class FastBPE:
-    """fastBPE encoder over BERTweet's vocab.txt + bpe.codes."""
+    """fastBPE encoder over BERTweet's vocab.txt + bpe.codes.
+
+    Encoding runs in C++ when the native library is available
+    (csrc/tokenizer.cpp ``fastbpe_*``, bit-parity tested in
+    tests/test_native_bpe.py)."""
 
     def __init__(self, vocab_path: str, merges_path: str, max_length: int,
-                 use_token_types: bool = False):
+                 use_token_types: bool = False, use_native: bool = True):
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeFastBpe
+
+                self._native = NativeFastBpe(vocab_path, merges_path)
+            except Exception:
+                self._native = None
         self.encoder = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
         with open(vocab_path, encoding="utf-8") as f:
             for line in f:
@@ -191,6 +229,10 @@ class FastBPE:
 
     def encode_batch(self, texts: List[str]):
         n, L = len(texts), self.max_length
+        if self._native is not None:
+            ids, mask = self._native.encode_batch(texts, L)
+            tt = np.zeros((n, L), np.int32) if self.use_token_types else None
+            return ids, mask, tt
         ids = np.full((n, L), self.pad_token_id, np.int32)
         mask = np.zeros((n, L), np.int32)
         for i, text in enumerate(texts):

@@ -78,6 +78,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.spbpe_load.restype = ctypes.c_void_p
+    lib.spbpe_load.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.spbpe_free.argtypes = [ctypes.c_void_p]
+    lib.spbpe_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.fastbpe_load.restype = ctypes.c_void_p
+    lib.fastbpe_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.fastbpe_free.argtypes = [ctypes.c_void_p]
+    lib.fastbpe_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -118,6 +138,88 @@ def fnv1a(token: str) -> int:
     for b in token.encode("utf-8"):
         h = ((h ^ b) * 16777619) & 0xFFFFFFFF
     return h
+
+
+class NativeSpBpe:
+    """C++ SentencePiece-BPE merge loop (Bernice/XLM-R). The ModelProto is
+    parsed by the caller (data/bpe_backends.py); pieces+scores arrive here as
+    flat arrays. Texts passed to ``encode_batch`` must be pre-normalized with
+    the ``▁`` word markers applied — bit-parity with the Python
+    ``SentencePieceBPE`` is tested in tests/test_native_bpe.py."""
+
+    def __init__(self, pieces: List[str], scores, is_normal):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib = lib
+        buf, offsets = _pack(pieces)
+        scores = np.ascontiguousarray(scores, np.float32)
+        is_normal = np.ascontiguousarray(is_normal, np.uint8)
+        self._handle = lib.spbpe_load(
+            buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            is_normal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(pieces),
+        )
+        if not self._handle:
+            raise RuntimeError("spbpe_load failed")
+
+    def encode_batch(self, marked_texts: List[str], max_length: int):
+        buf, offsets = _pack(marked_texts)
+        n = len(marked_texts)
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        self._lib.spbpe_encode_batch(
+            self._handle, buf,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return ids, mask
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.spbpe_free(self._handle)
+        except Exception:
+            pass
+
+
+class NativeFastBpe:
+    """C++ fastBPE encoder (BERTweet: fairseq vocab.txt + bpe.codes)."""
+
+    def __init__(self, vocab_path: str, codes_path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib = lib
+        self._handle = lib.fastbpe_load(vocab_path.encode(),
+                                        codes_path.encode())
+        if not self._handle:
+            raise RuntimeError(
+                f"fastbpe_load failed ({vocab_path}, {codes_path})")
+
+    def encode_batch(self, texts: List[str], max_length: int):
+        buf, offsets = _pack([str(t) for t in texts])
+        n = len(texts)
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        self._lib.fastbpe_encode_batch(
+            self._handle, buf,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return ids, mask
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.fastbpe_free(self._handle)
+        except Exception:
+            pass
 
 
 class NativeWordPiece:
