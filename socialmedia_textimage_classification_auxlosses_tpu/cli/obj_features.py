@@ -132,7 +132,18 @@ def main(argv=None):
                         default="mm")
     parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--testing", action="store_true")
+    parser.add_argument("--shard", type=str, default=None, metavar="I:N",
+                        help="process this 1/N round-robin slice of the ids "
+                             "(multi-host pods: run one shard per host; the "
+                             "image cache fills misses lazily, the ROI cache "
+                             "is merged by re-running unsharded)")
     args = parser.parse_args(argv)
+    shard = None
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split(":"))
+        if not 0 <= i < n:
+            parser.error(f"--shard {args.shard}: need 0 <= I < N")
+        shard = (i, n)
 
     import pandas as pd
 
@@ -145,7 +156,12 @@ def main(argv=None):
     img_fmt = C.IMG_FMT[args.task]
 
     if args.mode == "obj":
-        cache = RoiFeatureCache(f"{C.DATA_PATH}cache/{task_name}_roi")
+        if shard is not None:
+            ids = ids[shard[0]::shard[1]]
+            cache_dir = f"{C.DATA_PATH}cache/{task_name}_roi_shard{shard[0]}"
+        else:
+            cache_dir = f"{C.DATA_PATH}cache/{task_name}_roi"
+        cache = RoiFeatureCache(cache_dir)
         if cache.import_reference_dumps(C.DATA_PATH, task_name, ids):
             logger.info("imported reference FRCNN dumps")
         else:
@@ -154,7 +170,7 @@ def main(argv=None):
         size = args.image_size or (384 if args.mode == "vilt" else 224)
         tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"
         ImageCache(f"{C.DATA_PATH}cache/{tag}", size=size).build(
-            ids, img_fmt, on_missing="zeros"
+            ids, img_fmt, on_missing="zeros", process_shard=shard,
         )
     logger.info("done")
 

@@ -38,20 +38,34 @@ class ImageCache:
         self.index = {}
         self.valid = None
         self._pixels = None
+        self._decode_opts = None  # set by build(); enables decode-on-miss
         if os.path.isfile(self.meta_path):
             with open(self.meta_path) as f:
                 meta = json.load(f)
             self.index = {str(k): v for k, v in meta["index"].items()}
             self.size = meta["size"]
             self.valid = np.asarray(meta["valid"], bool)
+            if "decode_opts" in meta:
+                self._decode_opts = meta["decode_opts"]
 
     def build(self, ids: Sequence, img_fmt: str, empty_image: Optional[str] = None,
-              center_crop_from: Optional[int] = None, on_missing: str = "zeros"):
+              center_crop_from: Optional[int] = None, on_missing: str = "zeros",
+              process_shard: Optional[tuple] = None):
         """Resumable bulk build (reference obj_features resumability via
         done_ids dir scans, obj_features.py:58-60). Ids already cached are
-        kept; new ids extend the cache (splits share one cache dir)."""
+        kept; new ids extend the cache (splits share one cache dir).
+
+        ``process_shard=(index, count)``: multi-host pods decode only every
+        count-th id eagerly (round-robin by position) — the full sweep costs
+        1/count per host instead of N full sweeps. Rows another host owns
+        stay invalid and are decoded lazily on first ``gather`` (shuffled
+        epochs may route any id to any host), so correctness never depends
+        on the shard assignment."""
         os.makedirs(self.cache_dir, exist_ok=True)
         ids = [str(x) for x in ids]
+        self._decode_opts = {"img_fmt": img_fmt, "empty_image": empty_image,
+                             "center_crop_from": center_crop_from,
+                             "on_missing": on_missing}
         if self.index and all(i in self.index for i in ids):
             return self
         old_index = dict(self.index)
@@ -69,7 +83,10 @@ class ImageCache:
         if old_pixels is not None:
             pixels[: len(old_index)] = old_pixels
             valid[: len(old_index)] = old_valid[: len(old_index)]
+        shard_idx, shard_cnt = process_shard if process_shard else (0, 1)
         for k, data_id in enumerate(new_ids):
+            if shard_cnt > 1 and k % shard_cnt != shard_idx:
+                continue  # another host's eager slice; lazily filled if needed
             row = len(old_index) + k
             try:
                 pixels[row] = load_pixels_u8(
@@ -86,10 +103,14 @@ class ImageCache:
         pixels.flush()
         self.index = {data_id: row for row, data_id in enumerate(all_ids)}
         self.valid = valid
+        self._write_meta()
+        return self
+
+    def _write_meta(self):
         with open(self.meta_path, "w") as f:
             json.dump({"index": self.index, "size": self.size,
-                       "valid": valid.tolist()}, f)
-        return self
+                       "valid": self.valid.tolist(),
+                       "decode_opts": self._decode_opts}, f)
 
     @property
     def pixels(self):
@@ -100,8 +121,40 @@ class ImageCache:
     def rows(self, ids) -> np.ndarray:
         return np.asarray([self.index[str(i)] for i in ids], np.int64)
 
+    def _fill_missing(self, ids, rows):
+        """Decode-on-miss for rows whose eager build belonged to another
+        process shard; written back to the memmap so each miss decodes once."""
+        opts = self._decode_opts
+        if opts is None:
+            return  # legacy cache without decode opts: serve zeros as built
+        missing = [(str(i), int(r)) for i, r in zip(ids, rows)
+                   if not self.valid[r]]
+        if not missing:
+            return
+        self._pixels = None
+        pixels = np.load(self.pixels_path, mmap_mode="r+")
+        for data_id, row in missing:
+            try:
+                pixels[row] = load_pixels_u8(
+                    opts["img_fmt"], data_id, size=self.size,
+                    empty_image=opts.get("empty_image"),
+                    center_crop_from=opts.get("center_crop_from"),
+                    on_missing="error",
+                )
+                self.valid[row] = True
+            except Exception:
+                if opts.get("on_missing") == "error":
+                    raise
+                logger.info("failed id %s", data_id)
+                self.valid[row] = True  # zeros row; don't retry every epoch
+        pixels.flush()
+        self._write_meta()
+
     def gather(self, ids) -> np.ndarray:
-        return self.pixels[self.rows(ids)]
+        rows = self.rows(ids)
+        if self.valid is not None and not self.valid[rows].all():
+            self._fill_missing(ids, rows)
+        return self.pixels[rows]
 
 
 class RoiFeatureCache:

@@ -272,11 +272,17 @@ def make_image_source(
     use_cache: bool = False,
 ):
     """Disk-backed uint8 cache when requested (the reference's
-    ``--use_saved_features``), memoised lazy loading otherwise."""
+    ``--use_saved_features``), memoised lazy loading otherwise. On a
+    multi-host pod each process eagerly decodes only its 1/num_processes
+    round-robin slice of the id set (misses fill lazily on gather)."""
     if use_cache and cache_dir and ids is not None:
+        import jax
+
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         return ImageCache(cache_dir, size=size).build(
             ids, img_fmt, empty_image=empty_image,
-            center_crop_from=center_crop_from,
+            center_crop_from=center_crop_from, process_shard=shard,
         )
     return LazyImageSource(img_fmt, size=size, empty_image=empty_image,
                            center_crop_from=center_crop_from)
