@@ -51,8 +51,11 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         choices=["bfloat16", "float32"],
                         help="activation compute dtype")
     parser.add_argument("--attn_impl", type=str, default="auto",
-                        choices=["auto", "pallas", "pallas_interpret", "jnp"],
-                        help="attention kernel implementation")
+                        choices=["auto", "pallas", "pallas_interpret", "jnp",
+                                 "fused", "fused_interpret"],
+                        help="attention kernel implementation ('fused' = "
+                             "whole QKV+SDPA+out-proj block as one Pallas "
+                             "kernel, ops/attn_block.py)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
     parser.add_argument("--mesh_model", type=int, default=1,

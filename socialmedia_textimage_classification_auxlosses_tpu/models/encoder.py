@@ -72,11 +72,35 @@ class EncoderConfig:
         return jnp.dtype(self.dtype)
 
 
+class DenseParams(nn.Module):
+    """Kernel+bias with nn.Dense's exact param paths, shapes and inits —
+    lets the fused attention path read raw weights while staying
+    checkpoint/HF-import compatible with the nn.Dense layout."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention over separate query/key-value streams.
 
     Covers self-attention (q_input is kv_input) and cross-attention
     (LXMERT cross-modal; fusion head) with a key-padding mask.
+
+    ``cfg.attn_impl``:
+      * "auto" / "jnp" / "pallas*" — separate projections + ops.attention.sdpa
+        (the SDPA-only kernel or the XLA path);
+      * "fused" / "fused_interpret" — the whole block (QKV + SDPA + out-proj)
+        runs as ONE Pallas kernel for self-attention (ops/attn_block.py);
+        cross-attention keeps the sdpa path.
+    Both branches share one param tree (DenseParams == nn.Dense layout).
     """
 
     cfg: EncoderConfig
@@ -84,19 +108,46 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, q_input, kv_input, key_mask=None, deterministic=True):
         cfg = self.cfg
-        dense = lambda name: nn.Dense(cfg.hidden, dtype=cfg.jdtype, name=name)
+        dt = cfg.jdtype
         b, lq, _ = q_input.shape
-        lk = kv_input.shape[1]
+        h = cfg.hidden
+        params = {
+            name: DenseParams(h, h, name=name)()
+            for name in ("query", "key", "value", "out")
+        }
+
+        fused = (cfg.attn_impl in ("fused", "fused_interpret")
+                 and q_input is kv_input)
+        if fused:
+            from ..ops.attn_block import attn_block
+
+            (wq, bq), (wk, bk) = params["query"], params["key"]
+            (wv, bv), (wo, bo) = params["value"], params["out"]
+            out = attn_block(
+                q_input.astype(dt), key_mask,
+                wq.astype(dt), bq.astype(dt), wk.astype(dt), bk.astype(dt),
+                wv.astype(dt), bv.astype(dt), wo.astype(dt), bo.astype(dt),
+                heads=cfg.heads,
+                impl="fused_interpret" if cfg.attn_impl == "fused_interpret"
+                else "fused",
+            )
+            return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+        def dense(name, x):
+            kernel, bias = params[name]
+            return jnp.dot(x.astype(dt), kernel.astype(dt)) + bias.astype(dt)
 
         def split(x):
             return x.reshape(b, -1, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
 
-        q = split(dense("query")(q_input))
-        k = split(dense("key")(kv_input))
-        v = split(dense("value")(kv_input))
-        ctx = sdpa(q, k, v, key_mask=key_mask, impl=cfg.attn_impl)
+        q = split(dense("query", q_input))
+        k = split(dense("key", kv_input))
+        v = split(dense("value", kv_input))
+        sdpa_impl = ("jnp" if cfg.attn_impl in ("fused", "fused_interpret")
+                     else cfg.attn_impl)
+        ctx = sdpa(q, k, v, key_mask=key_mask, impl=sdpa_impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, cfg.hidden)
-        out = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="out")(ctx)
+        out = dense("out", ctx)
         return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 
