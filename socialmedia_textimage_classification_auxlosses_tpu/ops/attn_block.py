@@ -11,25 +11,28 @@ them as separate Linears):
 
 per batch element, entirely in VMEM:
 
-* the four (H, H) weight matrices stay resident across the batch grid
-  (constant index_map), read from HBM once per call instead of once per
-  XLA fusion window;
+* the four weight matrices stay resident across the batch grid (constant
+  index_map), read from HBM once per call instead of once per XLA fusion
+  window;
 * x is read once (the unfused path reads it three times for Q/K/V);
-* q/k/v, the (heads, L, L) score tensor, and the context never touch HBM.
+* q/k/v, the per-head (L, L) score matrices, and the context never touch
+  HBM.
 
-Backward is a second fully-fused kernel (recompute-in-VMEM, flash style): it
-re-derives q/k/v/p, runs the SDPA backward, folds the out-projection and
-produces ``dx`` on-chip; the four weight gradients are large clean matmuls
-(``x^T dq`` etc.) that XLA runs at peak off the ``dq/dk/dv/ctx``
-intermediates the kernel banks — the only extra HBM traffic of the design.
+Mosaic layout constraint: reshapes that split the lane (minor) dimension —
+``(L, H) -> (L, heads, d)`` — do not lower on TPU. The kernel therefore
+never materialises a heads axis on activations: weights arrive PRE-SPLIT
+per head (``Wq: (heads, H, d)``, ``Wo: (heads, d, H)`` — a free XLA reshape
+outside), and the kernel statically unrolls over heads with pure 2D MXU
+matmuls, accumulating the out-projection head by head.
+
+Backward is a second fully-fused kernel (recompute-in-VMEM, flash style):
+it re-derives q/k/v/p per head, runs the SDPA backward, folds the
+out-projection and produces ``dx`` on-chip; dq/dk/dv/ctx are banked as
+``(B, heads, L, d)`` so the four weight gradients become large clean
+matmuls XLA runs at peak — the only extra HBM traffic of the design.
 
 Residual add + LayerNorm + dropout stay outside: they are cheap pointwise
 work XLA fuses into neighbours, and dropout must see the train-step RNG.
-
-Layout notes (/opt/skills/guides/pallas_guide.md): all contractions are
-head-batched ``dot_general``s on the MXU with f32 accumulation
-(``preferred_element_type``); bf16 operands keep full MXU rate; softmax
-statistics are f32.
 """
 
 from __future__ import annotations
@@ -45,56 +48,42 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _split_heads(x, heads):
-    """(L, H) -> (heads, L, d)."""
-    l, h = x.shape
-    return x.reshape(l, heads, h // heads).transpose(1, 0, 2)
-
-
-def _merge_heads(x):
-    """(heads, L, d) -> (L, H)."""
-    nh, l, d = x.shape
-    return x.transpose(1, 0, 2).reshape(l, nh * d)
-
-
-def _qkv(x, wq, bq, wk, bk, wv, bv, heads):
-    q = jnp.dot(x, wq, preferred_element_type=jnp.float32) + bq
-    k = jnp.dot(x, wk, preferred_element_type=jnp.float32) + bk
-    v = jnp.dot(x, wv, preferred_element_type=jnp.float32) + bv
-    dt = x.dtype
-    return (_split_heads(q.astype(dt), heads), _split_heads(k.astype(dt), heads),
-            _split_heads(v.astype(dt), heads))
-
-
-def _probs(q, k, mask, scale):
-    """(h, Lq, d) x (h, Lk, d) -> softmax probs (h, Lq, Lk), f32."""
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
-    s = jnp.where(mask[None, :, :] > 0, s, _NEG_INF)
+def _head_softmax(s, mask):
+    """(L, L) f32 scores -> masked softmax probs, f32."""
+    s = jnp.where(mask > 0, s, _NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _ctx(p, v):
-    """probs (h, L, L) x v (h, L, d) -> merged context (L, H)."""
-    c = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    return _merge_heads(c.astype(v.dtype))
+def _qkv_head(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, h):
+    """One head's q/k/v: (L, H) @ (H, d) + (1, d), activation dtype."""
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[h], preferred_element_type=jnp.float32)
+        return (y + b_ref[h]).astype(dt)
+
+    return (proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref))
 
 
 def _fwd_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 bv_ref, wo_ref, bo_ref, o_ref, *, heads, scale):
     x = x_ref[0]
-    q, k, v = _qkv(x, wq_ref[...], bq_ref[...], wk_ref[...], bk_ref[...],
-                   wv_ref[...], bv_ref[...], heads)
-    p = _probs(q, k, mask_ref[0], scale)
-    ctx = _ctx(p, v)
-    out = jnp.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
-    o_ref[0] = (out + bo_ref[...]).astype(o_ref.dtype)
+    mask = mask_ref[0]  # (1, L)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for h in range(heads):
+        q, k, v = _qkv_head(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                            bv_ref, h)
+        s = jax.lax.dot_general(  # (L, L) = Q @ K^T without a transpose op
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = _head_softmax(s, mask)
+        ctx = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        acc += jnp.dot(ctx, wo_ref[h], preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + bo_ref[...]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
@@ -102,57 +91,52 @@ def _bwd_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 dx_ref, dq_ref, dk_ref, dv_ref, ctx_ref, *, heads, scale):
     x = x_ref[0]
     do = do_ref[0]
-    q, k, v = _qkv(x, wq_ref[...], bq_ref[...], wk_ref[...], bk_ref[...],
-                   wv_ref[...], bv_ref[...], heads)
-    p = _probs(q, k, mask_ref[0], scale)
-    ctx = _ctx(p, v)
-    ctx_ref[0] = ctx.astype(ctx_ref.dtype)
-    # out-projection backward: dctx = do Wo^T (contract feature axes)
-    dctx = jax.lax.dot_general(
-        do, wo_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(do.dtype)
-    dctx_h = _split_heads(dctx, heads)
-    # SDPA backward (recompute-in-VMEM): dV = P^T dctx; dS = P o (dctx V^T -
-    # rowsum); dQ = dS K scale; dK = dS^T Q scale
-    pc = p.astype(dctx_h.dtype)
-    dv = jax.lax.dot_general(
-        pc, dctx_h, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        dctx_h, v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dsc = ds.astype(k.dtype)
-    dq = jax.lax.dot_general(
-        dsc, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dk = jax.lax.dot_general(
-        dsc, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dq_m = _merge_heads(dq.astype(x.dtype))
-    dk_m = _merge_heads(dk.astype(x.dtype))
-    dv_m = _merge_heads(dv.astype(x.dtype))
-    dq_ref[0] = dq_m
-    dk_ref[0] = dk_m
-    dv_ref[0] = dv_m
-    # dx = dq Wq^T + dk Wk^T + dv Wv^T, all in VMEM
-    dx = jax.lax.dot_general(
-        dq_m, wq_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx += jax.lax.dot_general(
-        dk_m, wk_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx += jax.lax.dot_general(
-        dv_m, wv_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    mask = mask_ref[0]
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for h in range(heads):
+        q, k, v = _qkv_head(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                            bv_ref, h)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = _head_softmax(s, mask)
+        pc = p.astype(do.dtype)
+        ctx = jnp.dot(pc, v, preferred_element_type=jnp.float32).astype(x.dtype)
+        ctx_ref[0, h] = ctx
+        # out-projection backward: dctx = do @ Wo_h^T  ((L,H) @ (H,d))
+        dctx = jax.lax.dot_general(
+            do, wo_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(do.dtype)
+        # SDPA backward, one head in VMEM
+        dv = jax.lax.dot_general(  # (L, d) = P^T @ dctx
+            pc, dctx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # (L, L) = dctx @ V^T
+            dctx, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(k.dtype)
+        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(  # (L, d) = dS^T @ Q
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_c = dq.astype(x.dtype)
+        dk_c = dk.astype(x.dtype)
+        dv_c = dv.astype(x.dtype)
+        dq_ref[0, h] = dq_c
+        dk_ref[0, h] = dk_c
+        dv_ref[0, h] = dv_c
+        # dx += dq Wq_h^T + dk Wk_h^T + dv Wv_h^T  ((L,d) @ (d,H) via (H,d)^T)
+        for g, w_ref in ((dq_c, wq_ref), (dk_c, wk_ref), (dv_c, wv_ref)):
+            dx += jax.lax.dot_general(
+                g, w_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -161,17 +145,35 @@ def _x_spec(l, h):
                         memory_space=pltpu.VMEM)
 
 
+def _hd_spec(heads, l, d):
+    return pl.BlockSpec((1, heads, l, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _w_spec(shape):
     nd = len(shape)
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _run_fwd(x, mask, weights, heads, scale, interpret):
+def _split_weights(wq, bq, wk, bk, wv, bv, wo, bo, heads):
+    """Pre-split per head (outside the kernel, free XLA reshapes):
+    Wq/Wk/Wv: (H, H) -> (heads, H, d); biases -> (heads, 1, d);
+    Wo: (H, H) -> (heads, d, H); bo -> (1, H)."""
+    h = wq.shape[0]
+    d = h // heads
+
+    def wsplit(w):
+        return w.reshape(h, heads, d).transpose(1, 0, 2)
+
+    def bsplit(b):
+        return b.reshape(heads, 1, d)
+
+    return (wsplit(wq), bsplit(bq), wsplit(wk), bsplit(bk), wsplit(wv),
+            bsplit(bv), wo.reshape(heads, d, h), bo.reshape(1, h))
+
+
+def _run_fwd(x, mask, split_ws, heads, scale, interpret):
     b, l, h = x.shape
-    wq, bq, wk, bk, wv, bv, wo, bo = weights
-    # biases as (1, H) rows: rank-2 VMEM blocks lay out cleanly on the
-    # (sublane, lane) tiling; they broadcast against (L, H) in the kernel
-    bq, bk, bv, bo = (z.reshape(1, h) for z in (bq, bk, bv, bo))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, scale=scale),
         grid=(b,),
@@ -179,20 +181,17 @@ def _run_fwd(x, mask, weights, heads, scale, interpret):
             _x_spec(l, h),
             pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            _w_spec(wq.shape), _w_spec(bq.shape), _w_spec(wk.shape),
-            _w_spec(bk.shape), _w_spec(wv.shape), _w_spec(bv.shape),
-            _w_spec(wo.shape), _w_spec(bo.shape),
-        ],
+        ] + [_w_spec(w.shape) for w in split_ws],
         out_specs=_x_spec(l, h),
         out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
         interpret=interpret,
-    )(x, mask, wq, bq, wk, bk, wv, bv, wo, bo)
+    )(x, mask, *split_ws)
 
 
-def _run_bwd(x, mask, weights, do, heads, scale, interpret):
+def _run_bwd(x, mask, split_ws, do, heads, scale, interpret):
     b, l, h = x.shape
-    wq, bq, wk, bk, wv, bv, wo, bo = weights
-    bq, bk, bv, bo = (z.reshape(1, h) for z in (bq, bk, bv, bo))
+    d = h // heads
+    hd = lambda: _hd_spec(heads, l, d)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, scale=scale),
         grid=(b,),
@@ -200,53 +199,60 @@ def _run_bwd(x, mask, weights, do, heads, scale, interpret):
             _x_spec(l, h),
             pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            _w_spec(wq.shape), _w_spec(bq.shape), _w_spec(wk.shape),
-            _w_spec(bk.shape), _w_spec(wv.shape), _w_spec(bv.shape),
-            _w_spec(wo.shape), _w_spec(bo.shape),
-            _x_spec(l, h),
-        ],
-        out_specs=tuple(_x_spec(l, h) for _ in range(5)),
-        out_shape=tuple(jax.ShapeDtypeStruct((b, l, h), x.dtype)
-                        for _ in range(5)),
+        ] + [_w_spec(w.shape) for w in split_ws] + [_x_spec(l, h)],
+        out_specs=(_x_spec(l, h), hd(), hd(), hd(), hd()),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, h), x.dtype),
+            jax.ShapeDtypeStruct((b, heads, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, heads, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, heads, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, heads, l, d), x.dtype),
+        ),
         interpret=interpret,
-    )(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, do)
-    return outs  # dx, dq, dk, dv, ctx
+    )(x, mask, *split_ws, do)
+    return outs  # dx, dq, dk, dv, ctx  (head-banked)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def _attn_block(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
                 interpret):
-    return _run_fwd(x, mask, (wq, bq, wk, bk, wv, bv, wo, bo), heads, scale,
-                    interpret)
+    split_ws = _split_weights(wq, bq, wk, bk, wv, bv, wo, bo, heads)
+    return _run_fwd(x, mask, split_ws, heads, scale, interpret)
 
 
 def _attn_block_fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
                     interpret):
-    out = _run_fwd(x, mask, (wq, bq, wk, bk, wv, bv, wo, bo), heads, scale,
-                   interpret)
+    split_ws = _split_weights(wq, bq, wk, bk, wv, bv, wo, bo, heads)
+    out = _run_fwd(x, mask, split_ws, heads, scale, interpret)
     return out, (x, mask, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
 def _attn_block_bwd(heads, scale, interpret, res, do):
     x, mask, wq, bq, wk, bk, wv, bv, wo, bo = res
-    dx, dq, dk, dv, ctx = _run_bwd(
-        x, mask, (wq, bq, wk, bk, wv, bv, wo, bo), do, heads, scale,
-        interpret)
+    split_ws = _split_weights(wq, bq, wk, bk, wv, bv, wo, bo, heads)
+    dx, dq, dk, dv, ctx = _run_bwd(x, mask, split_ws, do, heads, scale,
+                                   interpret)
+    b, l, h = x.shape
+
+    def merge(g):  # (B, heads, L, d) -> (B, L, H)
+        return g.transpose(0, 2, 1, 3).reshape(b, l, h)
+
+    dq_m, dk_m, dv_m, ctx_m = merge(dq), merge(dk), merge(dv), merge(ctx)
+
     # Weight gradients: large clean (B*L, H)^T @ (B*L, H) matmuls — XLA runs
     # these at peak; f32 accumulation over the flattened batch.
     def wgrad(a, g):
         return jax.lax.dot_general(
-            a.reshape(-1, a.shape[-1]), g.reshape(-1, g.shape[-1]),
+            a.reshape(-1, h), g.reshape(-1, h),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(wq.dtype)
 
     def bgrad(g):
         return jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(bq.dtype)
 
-    dwq, dwk, dwv = wgrad(x, dq), wgrad(x, dk), wgrad(x, dv)
-    dwo = wgrad(ctx, do)
-    return (dx, None, dwq, bgrad(dq), dwk, bgrad(dk), dwv, bgrad(dv),
-            dwo, bgrad(do))
+    return (dx, None, wgrad(x, dq_m), bgrad(dq_m), wgrad(x, dk_m),
+            bgrad(dk_m), wgrad(x, dv_m), bgrad(dv_m), wgrad(ctx_m, do),
+            bgrad(do))
 
 
 _attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)

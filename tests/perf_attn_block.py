@@ -7,7 +7,11 @@ Not collected by pytest (no test_ prefix); results recorded in BASELINE.md.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
