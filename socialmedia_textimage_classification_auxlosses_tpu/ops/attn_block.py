@@ -140,6 +140,107 @@ def _bwd_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
+def _fwd_kernel2(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                 bv_ref, wo_ref, bo_ref, o_ref, *, heads, scale):
+    """Variant 2: full-width (H, H) projection matmuls (full MXU depth),
+    per-head score/ctx work on static lane slices of the packed q/k/v."""
+    x = x_ref[0]
+    mask = mask_ref[0]
+    l, hid = x.shape
+    d = hid // heads
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        return (y + b_ref[...]).astype(dt)
+
+    q_all, k_all, v_all = (proj(wq_ref, bq_ref), proj(wk_ref, bk_ref),
+                           proj(wv_ref, bv_ref))
+    ctx_all = jnp.zeros((l, hid), dt)
+    for h in range(heads):
+        sl = lambda a: jax.lax.slice(a, (0, h * d), (l, (h + 1) * d))
+        q, k, v = sl(q_all), sl(k_all), sl(v_all)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = _head_softmax(s, mask)
+        ctx = jnp.dot(p.astype(dt), v,
+                      preferred_element_type=jnp.float32).astype(dt)
+        ctx_all = jax.lax.dynamic_update_slice(ctx_all, ctx, (0, h * d))
+    out = jnp.dot(ctx_all, wo_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + bo_ref[...]).astype(o_ref.dtype)
+
+
+def _bwd_kernel2(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                 bv_ref, wo_ref, bo_ref, do_ref,
+                 dx_ref, dq_ref, dk_ref, dv_ref, ctx_ref, *, heads, scale):
+    x = x_ref[0]
+    do = do_ref[0]
+    mask = mask_ref[0]
+    l, hid = x.shape
+    d = hid // heads
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        return (y + b_ref[...]).astype(dt)
+
+    q_all, k_all, v_all = (proj(wq_ref, bq_ref), proj(wk_ref, bk_ref),
+                           proj(wv_ref, bv_ref))
+    # dctx = do @ Wo^T, full width
+    dctx_all = jax.lax.dot_general(
+        do, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    ctx_all = jnp.zeros((l, hid), dt)
+    dq_all = jnp.zeros((l, hid), dt)
+    dk_all = jnp.zeros((l, hid), dt)
+    dv_all = jnp.zeros((l, hid), dt)
+    for h in range(heads):
+        sl = lambda a: jax.lax.slice(a, (0, h * d), (l, (h + 1) * d))
+        q, k, v, dctx = sl(q_all), sl(k_all), sl(v_all), sl(dctx_all)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = _head_softmax(s, mask)
+        pc = p.astype(dt)
+        ctx = jnp.dot(pc, v, preferred_element_type=jnp.float32).astype(dt)
+        dv = jax.lax.dot_general(
+            pc, dctx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            dctx, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(dt)
+        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        upd = jax.lax.dynamic_update_slice
+        ctx_all = upd(ctx_all, ctx, (0, h * d))
+        dq_all = upd(dq_all, dq.astype(dt), (0, h * d))
+        dk_all = upd(dk_all, dk.astype(dt), (0, h * d))
+        dv_all = upd(dv_all, dv.astype(dt), (0, h * d))
+    ctx_ref[0] = ctx_all
+    dq_ref[0] = dq_all
+    dk_ref[0] = dk_all
+    dv_ref[0] = dv_all
+    # dx = dq Wq^T + dk Wk^T + dv Wv^T, full width
+    dx = jnp.zeros((l, hid), jnp.float32)
+    for g, w_ref in ((dq_all, wq_ref), (dk_all, wk_ref), (dv_all, wv_ref)):
+        dx += jax.lax.dot_general(
+            g, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
 def _x_spec(l, h):
     return pl.BlockSpec((1, l, h), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -213,6 +314,83 @@ def _run_bwd(x, mask, split_ws, do, heads, scale, interpret):
     return outs  # dx, dq, dk, dv, ctx  (head-banked)
 
 
+def _full_weights(wq, bq, wk, bk, wv, bv, wo, bo):
+    h = wq.shape[0]
+    return (wq, bq.reshape(1, h), wk, bk.reshape(1, h), wv, bv.reshape(1, h),
+            wo, bo.reshape(1, h))
+
+
+def _run_fwd2(x, mask, full_ws, heads, scale, interpret):
+    b, l, h = x.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel2, heads=heads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            _x_spec(l, h),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_w_spec(w.shape) for w in full_ws],
+        out_specs=_x_spec(l, h),
+        out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
+        interpret=interpret,
+    )(x, mask, *full_ws)
+
+
+def _run_bwd2(x, mask, full_ws, do, heads, scale, interpret):
+    b, l, h = x.shape
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel2, heads=heads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            _x_spec(l, h),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_w_spec(w.shape) for w in full_ws] + [_x_spec(l, h)],
+        out_specs=tuple(_x_spec(l, h) for _ in range(5)),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, l, h), x.dtype)
+                        for _ in range(5)),
+        interpret=interpret,
+    )(x, mask, *full_ws, do)
+    return outs  # dx, dq, dk, dv, ctx  (packed (B, L, H))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _attn_block2(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
+                 interpret):
+    full_ws = _full_weights(wq, bq, wk, bk, wv, bv, wo, bo)
+    return _run_fwd2(x, mask, full_ws, heads, scale, interpret)
+
+
+def _attn_block2_fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
+                     interpret):
+    full_ws = _full_weights(wq, bq, wk, bk, wv, bv, wo, bo)
+    out = _run_fwd2(x, mask, full_ws, heads, scale, interpret)
+    return out, (x, mask, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _attn_block2_bwd(heads, scale, interpret, res, do):
+    x, mask, wq, bq, wk, bk, wv, bv, wo, bo = res
+    full_ws = _full_weights(wq, bq, wk, bk, wv, bv, wo, bo)
+    dx, dq, dk, dv, ctx = _run_bwd2(x, mask, full_ws, do, heads, scale,
+                                    interpret)
+    h = x.shape[-1]
+
+    def wgrad(a, g):
+        return jax.lax.dot_general(
+            a.reshape(-1, h), g.reshape(-1, h),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(wq.dtype)
+
+    def bgrad(g):
+        return jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(bq.dtype)
+
+    return (dx, None, wgrad(x, dq), bgrad(dq), wgrad(x, dk), bgrad(dk),
+            wgrad(x, dv), bgrad(dv), wgrad(ctx, do), bgrad(do))
+
+
+_attn_block2.defvjp(_attn_block2_fwd, _attn_block2_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def _attn_block(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
                 interpret):
@@ -283,8 +461,12 @@ def attn_block(x, key_mask, wq, bq, wk, bk, wv, bv, wo, bo, heads: int,
     """Fused self-attention block.
 
     x: (B, L, H); key_mask: (B, L) 1=keep; weights: four (H, H) kernels +
-    (H,) biases in the flax Dense layout. ``impl``: "fused" (Pallas TPU
-    kernel), "fused_interpret" (CPU-debuggable), "jnp" (oracle).
+    (H,) biases in the flax Dense layout. ``impl``:
+      * "fused" / "fused_interpret" — packed-lane variant: full-width
+        projection matmuls, per-head score work on static lane slices;
+      * "fused_perhead" / "fused_perhead_interpret" — per-head-split
+        weights, narrow matmuls (kept for ablation);
+      * "jnp" — oracle.
     """
     if scale is None:
         scale = (x.shape[-1] // heads) ** -0.5
@@ -294,5 +476,8 @@ def attn_block(x, key_mask, wq, bq, wk, bk, wv, bv, wo, bo, heads: int,
     if key_mask is None:
         key_mask = jnp.ones(x.shape[:2], jnp.int32)
     mask = key_mask.astype(jnp.int32)[:, None, :]
-    return _attn_block(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads, scale,
-                       impl == "fused_interpret")
+    if impl.startswith("fused_perhead"):
+        return _attn_block(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+                           scale, impl.endswith("interpret"))
+    return _attn_block2(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+                        scale, impl.endswith("interpret"))

@@ -31,15 +31,19 @@ def _call(impl, x, mask, ws):
                       impl=impl)
 
 
-def test_forward_matches_oracle(inputs):
+@pytest.mark.parametrize("impl", ["fused_interpret",
+                                  "fused_perhead_interpret"])
+def test_forward_matches_oracle(inputs, impl):
     x, mask, ws = inputs
-    out_k = _call("fused_interpret", x, mask, ws)
+    out_k = _call(impl, x, mask, ws)
     out_r = _call("jnp", x, mask, ws)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                atol=2e-5, rtol=2e-5)
 
 
-def test_gradients_match_oracle(inputs):
+@pytest.mark.parametrize("impl", ["fused_interpret",
+                                  "fused_perhead_interpret"])
+def test_gradients_match_oracle(inputs, impl):
     x, mask, ws = inputs
     cot = jnp.array(np.random.RandomState(1).randn(B, L, H), jnp.float32)
 
@@ -48,7 +52,7 @@ def test_gradients_match_oracle(inputs):
             return jnp.sum(_call(impl, x, mask, ws) * cot)
         return f
 
-    (gx_k, gw_k) = jax.grad(loss("fused_interpret"), argnums=(0, 1))(x, ws)
+    (gx_k, gw_k) = jax.grad(loss(impl), argnums=(0, 1))(x, ws)
     (gx_r, gw_r) = jax.grad(loss("jnp"), argnums=(0, 1))(x, ws)
     np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
                                atol=5e-5, rtol=5e-4)
