@@ -286,6 +286,31 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         )
         return {"out_cls": logits}
 
+    mesh_pipe = int(getattr(args, "mesh_pipe", 1) or 1)
+    mesh_plan = make_mesh(args)
+    if mesh_pipe > 1:
+        # Pipeline-parallel tower: GPipe over the scanned layer stack
+        # (parallel/pp_text.py); forward parity with model.apply is
+        # test-enforced so eval/checkpoints are unaffected.
+        from ..parallel.pipeline import make_pp_mesh
+        from ..parallel.pp_text import PipeMeshPlan, make_pp_text_forward
+
+        if not overrides["scan_layers"]:
+            raise SystemExit("--mesh_pipe requires --scan_layers")
+        n_dev = len(jax.devices())
+        pp_mesh = make_pp_mesh(pipe=mesh_pipe, data=max(1, n_dev // mesh_pipe))
+        # microbatches split each data shard's LOCAL rows
+        local_rows = max(1, cfg.batch_size // pp_mesh.shape["data"])
+        num_micro = (int(getattr(args, "pp_microbatches", 0) or 0)
+                     or min(4, local_rows))
+        pp_forward = make_pp_text_forward(model, pp_mesh, num_micro)
+        mesh_plan = PipeMeshPlan(pp_mesh)
+
+        def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
+                       word_embeds=None, tim_word_embeds=None):
+            return pp_forward(p, batch, tim_inputs, dropout_rng,
+                              deterministic)
+
     frozen = (lambda path, x: "tower" in [str(getattr(q, "key", q)) for q in path]) \
         if freeze else None
 
@@ -296,7 +321,7 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         dict(model=model, params=params, forward_fn=forward_fn,
              loss_cfg=_loss_cfg_from(cfg),
              class_weights=None if weights is None else jnp.asarray(weights),
-             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes),
+             tokenizer=tokenizer, mesh_plan=mesh_plan, pipes=pipes),
         args, cfg, frozen_pred=frozen,
     )
 

@@ -56,6 +56,13 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="attention kernel implementation ('fused' = "
                              "whole QKV+SDPA+out-proj block as one Pallas "
                              "kernel, ops/attn_block.py)")
+    parser.add_argument("--mesh_pipe", type=int, default=1,
+                        help="pipeline-parallel stages for the text tower "
+                             "(GPipe over the scanned layer stack; requires "
+                             "--scan_layers; run_txt only)")
+    parser.add_argument("--pp_microbatches", type=int, default=0,
+                        help="microbatches per pipeline step (default "
+                             "min(4, batch))")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
     parser.add_argument("--mesh_model", type=int, default=1,

@@ -39,22 +39,39 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _stage_apply(layer_fn: Callable, local_params, x, key_mask):
-    """Apply this stage's L/S stacked layers sequentially (lax.scan)."""
+def _stage_apply(layer_fn: Callable, local_params, x, key_mask, rng,
+                 axis_name):
+    """Apply this stage's L/S stacked layers sequentially (lax.scan).
 
-    def body(h, p_one):
-        return layer_fn(p_one, h, key_mask), None
+    With ``rng`` (training dropout), each layer gets a key folded with its
+    GLOBAL layer index (stage offset + local position) so dropout draws are
+    deterministic and distinct per layer across stages."""
+    n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
+    if rng is None:
+        def body(h, p_one):
+            return layer_fn(p_one, h, key_mask, None), None
 
-    out, _ = jax.lax.scan(body, x, local_params)
+        out, _ = jax.lax.scan(body, x, local_params)
+        return out
+
+    offset = jax.lax.axis_index(axis_name) * n_local
+
+    def body(h, xs):
+        p_one, i = xs
+        r = jax.random.fold_in(rng, offset + i)
+        return layer_fn(p_one, h, key_mask, r), None
+
+    out, _ = jax.lax.scan(body, x, (local_params, jnp.arange(n_local)))
     return out
 
 
-def pipeline_apply(layer_fn, stacked_params, x, key_mask, *,
+def pipeline_apply(layer_fn, stacked_params, x, key_mask, rng=None, *,
                    num_microbatches: int, axis_name: str = "pipe"):
     """GPipe forward for one device's shard — call INSIDE shard_map.
 
-    ``layer_fn(params_one_layer, h, key_mask) -> h`` applies a single layer.
-    ``stacked_params``: this stage's local shard, leading axis = local
+    ``layer_fn(params_one_layer, h, key_mask, rng) -> h`` applies a single
+    layer (``rng`` is None in deterministic mode, else a per-layer dropout
+    key). ``stacked_params``: this stage's local shard, leading axis = local
     layers. ``x``: the stage-local batch rows ``(B, T, H)`` (replicated over
     the pipe axis; only stage 0 reads it). ``key_mask``: ``(B, T)`` padding
     mask; it rotates stage-to-stage alongside the activations, since each
@@ -82,7 +99,7 @@ def pipeline_apply(layer_fn, stacked_params, x, key_mask, *,
         t_in = jnp.clip(t, 0, m - 1)
         inp = jnp.where(s == 0, micro[t_in], act)
         km = jnp.where(s == 0, mask_micro[t_in], act_mask)
-        out = _stage_apply(layer_fn, stacked_params, inp, km)
+        out = _stage_apply(layer_fn, stacked_params, inp, km, rng, axis_name)
         # the last stage banks microbatch t - (S-1)
         j = t - (nstages - 1)
         bank = jnp.logical_and(s == nstages - 1, j >= 0)
@@ -132,27 +149,43 @@ def make_pipelined_stack(
     param_specs = P(pipe_axis)  # leading layer axis sharded over stages
     x_spec = P(dspec)           # rows over data, replicated over pipe
 
-    def inner(stacked_params, x, key_mask):
-        return pipeline_apply(
-            layer_fn, stacked_params, x, key_mask,
-            num_microbatches=num_microbatches, axis_name=pipe_axis)
-
-    def run(stacked_params, x, key_mask=None):
+    def run(stacked_params, x, key_mask=None, rng=None):
         n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
         if n_layers % nstages:
             raise ValueError(
                 f"{n_layers} layers not divisible by {nstages} pipeline stages")
         if key_mask is None:
             key_mask = jnp.ones(x.shape[:2], jnp.int32)
+        if rng is None:
+            def inner(stacked_params, x, key_mask):
+                return pipeline_apply(
+                    layer_fn, stacked_params, x, key_mask, None,
+                    num_microbatches=num_microbatches, axis_name=pipe_axis)
+
+            f = shard_map(
+                inner, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: param_specs,
+                                                 stacked_params),
+                          x_spec, x_spec),
+                out_specs=x_spec,
+                check_rep=False,
+            )
+            return f(stacked_params, x, key_mask)
+
+        def inner_rng(stacked_params, x, key_mask, rng):
+            return pipeline_apply(
+                layer_fn, stacked_params, x, key_mask, rng,
+                num_microbatches=num_microbatches, axis_name=pipe_axis)
+
         f = shard_map(
-            inner, mesh=mesh,
+            inner_rng, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: param_specs,
                                              stacked_params),
-                      x_spec, x_spec),
+                      x_spec, x_spec, P()),
             out_specs=x_spec,
             check_rep=False,
         )
-        return f(stacked_params, x, key_mask)
+        return f(stacked_params, x, key_mask, rng)
 
     return run
 

@@ -27,7 +27,7 @@ def _setup(rng, batch=8, seq=6):
     params = stack.init(jax.random.PRNGKey(0), x, mask, True)
     stacked = params["params"]["layers"]["layer"]
 
-    def layer_fn(p_one, h, km):
+    def layer_fn(p_one, h, km, rng):
         return EncoderLayer(CFG).apply({"params": p_one}, h, km, True)
 
     def sequential(stacked_p, x, mask):
