@@ -161,10 +161,21 @@ class SplitPipeline:
             put = mesh_plan.shard_batch
         else:
             put = jax.device_put
+
+        def put_keep_ids(batch):
+            # data_id stays HOST-SIDE int64: device_put under x64-disabled
+            # JAX silently truncates int64 -> int32, which corrupts real
+            # tweet ids (~1e18) in prediction CSVs and cache keys. The
+            # compiled steps never read it.
+            host = {k: batch.pop(k) for k in ("data_id",) if k in batch}
+            out = dict(put(batch))
+            out.update(host)
+            return out
+
         pending = None
         for batch in self.batches(shuffle=shuffle, rng=rng,
                                   local_rows=local_rows):
-            nxt = put(batch)
+            nxt = put_keep_ids(batch)
             if pending is not None:
                 yield pending
             pending = nxt
@@ -202,6 +213,13 @@ class SplitPipeline:
             out["step_valid"] = step_valid
             return out, k
 
+        def put_keep_ids(batches):
+            # see device_iter: data_id never rides through device_put
+            host = {k: batches.pop(k) for k in ("data_id",) if k in batches}
+            out = dict(put(batches))
+            out.update(host)
+            return out
+
         pending = None
         chunk: list = []
         for batch in self.batches(shuffle=shuffle, rng=rng):
@@ -209,13 +227,13 @@ class SplitPipeline:
             if len(chunk) == chunk_steps:
                 nxt = stack(chunk)
                 chunk = []
-                nxt = (put(nxt[0]), nxt[1])
+                nxt = (put_keep_ids(nxt[0]), nxt[1])
                 if pending is not None:
                     yield pending
                 pending = nxt
         if chunk:
             nxt = stack(chunk)
-            nxt = (put(nxt[0]), nxt[1])
+            nxt = (put_keep_ids(nxt[0]), nxt[1])
             if pending is not None:
                 yield pending
             pending = nxt

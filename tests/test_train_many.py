@@ -109,6 +109,38 @@ def test_scanned_skips_padded_tail(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_data_id_survives_device_iter(rng):
+    """Real tweet ids (~1e18, int64) must NOT ride through device_put —
+    x64-disabled JAX silently truncates them to int32 (corrupting
+    prediction CSVs). data_id stays a host numpy array."""
+    from socialmedia_textimage_classification_auxlosses_tpu.data.pipeline import (
+        PipelineConfig, SplitPipeline,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.data.prep import SplitArrays
+
+    big = np.array([1_400_000_000_000_000_001 + i for i in range(4)], np.int64)
+    split = SplitArrays(
+        ids=np.array([str(i) for i in big]),
+        ids_num=big,
+        text=np.array(["a", "b", "c", "d"]),
+        labels=np.eye(2, dtype=np.float32)[[0, 1, 0, 1]],
+    )
+
+    class Tok:
+        def __call__(self, texts):
+            return {"ids": np.ones((len(texts), 4), np.int32),
+                    "mask": np.ones((len(texts), 4), np.int32)}
+
+    pipe = SplitPipeline(split, PipelineConfig(batch_size=4, with_images=False),
+                         tokenizer=Tok())
+    (batch,) = list(pipe.device_iter(shuffle=False))
+    assert batch["data_id"].dtype == np.int64
+    np.testing.assert_array_equal(np.asarray(batch["data_id"]), big)
+    ((chunk, _k),) = list(pipe.device_iter_chunks(1, shuffle=False))
+    assert chunk["data_id"].dtype == np.int64
+    np.testing.assert_array_equal(np.asarray(chunk["data_id"][0]), big)
+
+
 def test_device_iter_chunks_contents(rng):
     """Chunked iterator reproduces the per-batch iterator's contents and pads
     the tail with step_valid=0."""
