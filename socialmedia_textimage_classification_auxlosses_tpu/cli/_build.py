@@ -33,8 +33,9 @@ from ..parallel.mesh import MeshPlan, make_mesh_plan
 from ..train.optim import (any_of, batch_stats_predicate,
                            feature_extract_predicate, make_optimizer,
                            vision_frozen_predicate, count_params)
-from ..train.steps import (LossConfig, make_eval_step, make_feature_step,
-                           make_train_many, make_train_step)
+from ..train.steps import (LossConfig, make_eval_many, make_eval_step,
+                           make_feature_step, make_train_many,
+                           make_train_step)
 from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -57,6 +58,7 @@ class Setup:
     pipes: Dict[str, SplitPipeline]
     image_norm: Optional[tuple] = None
     train_many: Optional[Callable] = None
+    eval_many: Optional[Callable] = None
 
 
 def make_mesh(args) -> MeshPlan:
@@ -118,6 +120,7 @@ def _finish(setup_kwargs, args, cfg, frozen_pred=None):
                                    lazy_emb_cfg=lazy_cfg),
         train_many=make_train_many(fwd, loss_cfg, tx, class_weights=cw,
                                    lazy_emb_cfg=lazy_cfg),
+        eval_many=make_eval_many(fwd, loss_cfg, class_weights=cw),
         eval_step=make_eval_step(fwd, loss_cfg, class_weights=cw),
         feature_step=make_feature_step(fwd),
     )

@@ -81,6 +81,7 @@ def main(argv=None):
         metric_names=C.metric_names, log_every=args.log_every,
         profile_dir=args.profile, log_jsonl=args.log_jsonl,
         resume=args.resume, train_many=setup.train_many,
+        eval_many=setup.eval_many,
         steps_per_dispatch=args.steps_per_dispatch,
     )
 

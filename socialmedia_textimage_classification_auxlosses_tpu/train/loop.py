@@ -48,12 +48,14 @@ class Trainer:
         log_jsonl: Optional[str] = None,
         resume: bool = False,
         train_many=None,
+        eval_many=None,
         steps_per_dispatch: int = 1,
     ):
         self.train_step = train_step
-        # scanned multi-step dispatch (steps.make_train_many): one device
-        # dispatch per `steps_per_dispatch` optimizer steps
+        # scanned multi-step dispatch (steps.make_train_many/make_eval_many):
+        # one device dispatch per `steps_per_dispatch` steps
         self.train_many = train_many
+        self.eval_many = eval_many
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.eval_step = eval_step
         self.params = params
@@ -258,6 +260,9 @@ class Trainer:
         """Reference-contract eval result (mm_late.py:534-638): per-batch
         mean loss, stacked predictions/labels/data_ids; confusion counts
         accumulate on device."""
+        if (self.eval_many is not None and self.steps_per_dispatch > 1
+                and not collect_features):
+            return self._evaluate_chunked(pipe)
         losses, preds, targets, data_ids = [], [], [], []
         cm = None
         correct = 0.0
@@ -290,3 +295,44 @@ class Trainer:
         if collect_features:
             res["features"] = np.concatenate(features) if features else np.array([])
         return res
+
+    def _evaluate_chunked(self, pipe) -> Dict:
+        """Eval via the scanned multi-step dispatch (steps.make_eval_many):
+        stateless, so the padded tail is simply sliced off; RNG folds match
+        the per-batch path exactly."""
+        losses, preds, targets, data_ids = [], [], [], []
+        cm = None
+        correct = 0.0
+        n = 0.0
+        idx = 0
+        for batches, k_real in pipe.device_iter_chunks(
+            self.steps_per_dispatch, shuffle=False,
+            mesh_plan=self.mesh_plan,
+        ):
+            out = self.eval_many(
+                self.params,
+                {k: v for k, v in batches.items() if k != "step_valid"},
+                self.root_key, idx)
+            idx += k_real
+            valid_all = np.asarray(batches["valid"]).astype(bool)
+            ids_all = np.asarray(batches["data_id"])
+            o = {k: np.asarray(v) for k, v in out.items()}
+            for j in range(k_real):
+                valid = valid_all[j]
+                losses.append(float(o["loss"][j]))
+                preds.append(o["predictions"][j][valid])
+                targets.append(o["targets"][j][valid])
+                data_ids.append(ids_all[j][valid])
+                cm = o["cm"][j] if cm is None else cm + o["cm"][j]
+                correct += float(o["correct"][j])
+                n += float(o["n"][j])
+        eval_loss = float(np.mean(losses)) if losses else float("nan")
+        acc = 100.0 * correct / max(n, 1.0)
+        logger.info("loss: %.4f acc: %.4f", eval_loss, acc)
+        return {
+            "data_id": np.concatenate(data_ids) if data_ids else np.array([]),
+            "loss": eval_loss,
+            "predictions": np.concatenate(preds) if preds else np.array([]),
+            "labels": np.concatenate(targets) if targets else np.array([]),
+            "cm": cm,
+        }

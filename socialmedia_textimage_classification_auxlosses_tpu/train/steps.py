@@ -355,6 +355,32 @@ def make_eval_step(forward_fn: Callable, loss_cfg: LossConfig, class_weights=Non
     return jax.jit(make_eval_step_fn(forward_fn, loss_cfg, class_weights))
 
 
+def make_eval_many(forward_fn: Callable, loss_cfg: LossConfig,
+                   class_weights=None):
+    """K eval steps in one device dispatch (lax.scan over stacked batches).
+
+    Stateless, so padded tail steps need no skipping — the caller slices
+    the stacked outputs to the chunk's real step count. The per-step RNG
+    matches Trainer.evaluate's convention (fold_in(root, 10_000_000 + i))
+    so chunked and per-batch eval draw identical ITM swaps.
+    """
+    estep = make_eval_step_fn(forward_fn, loss_cfg, class_weights)
+
+    def many(params, batches, root_key, idx0):
+        data = {k: v for k, v in batches.items() if k != "step_valid"}
+        k_steps = jax.tree_util.tree_leaves(data)[0].shape[0]
+
+        def body(carry, xs):
+            b, i = xs
+            key = jax.random.fold_in(root_key, 10_000_000 + idx0 + i)
+            return carry, estep(params, b, key)
+
+        _, outs = jax.lax.scan(body, None, (data, jnp.arange(k_steps)))
+        return outs
+
+    return jax.jit(many)
+
+
 def make_feature_step(forward_fn: Callable):
     """mm_features extraction (reference mm_late.py:703-739)."""
 

@@ -14,7 +14,7 @@ from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
     make_optimizer, vision_frozen_predicate,
 )
 from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
-    LossConfig, make_train_many, make_train_step,
+    LossConfig, make_eval_many, make_train_many, make_train_step,
 )
 
 TINY_TEXT = EncoderConfig(vocab_size=50, hidden=16, layers=1, heads=2, mlp_dim=32,
@@ -243,6 +243,7 @@ def test_trainer_chunked_equals_per_step(rng, tmp_path):
             train_many=make_train_many(forward, cfg, tx,
                                        class_weights=jnp.ones(2),
                                        donate=False),
+            eval_many=make_eval_many(forward, cfg, class_weights=jnp.ones(2)),
             steps_per_dispatch=steps_per_dispatch,
         )
         return trainer, pipe
@@ -256,3 +257,11 @@ def test_trainer_chunked_equals_per_step(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # chunked eval (t2 path) must reproduce per-batch eval exactly
+    res1 = t1.evaluate(pipe1)
+    res2 = t2.evaluate(pipe2)
+    assert abs(res1["loss"] - res2["loss"]) < 1e-6
+    np.testing.assert_array_equal(res1["predictions"], res2["predictions"])
+    np.testing.assert_array_equal(res1["data_id"], res2["data_id"])
+    np.testing.assert_array_equal(res1["cm"], res2["cm"])
