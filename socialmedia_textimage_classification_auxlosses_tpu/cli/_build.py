@@ -66,6 +66,34 @@ def make_mesh(args) -> MeshPlan:
                           model=getattr(args, "mesh_model", 1))
 
 
+@dataclasses.dataclass
+class _PP:
+    mesh: object
+    num_micro: int
+
+
+def _maybe_pp(args, cfg, overrides, stack_pred=None):
+    """(mesh_plan, pp-or-None) for --mesh_pipe: a (data, pipe) mesh whose
+    pipe axis carries the scanned layer stack (parallel/pp_text.py)."""
+    mesh_pipe = int(getattr(args, "mesh_pipe", 1) or 1)
+    if mesh_pipe <= 1:
+        return make_mesh(args), None
+    from ..parallel.pipeline import make_pp_mesh
+    from ..parallel.pp_text import PipeMeshPlan
+
+    if not overrides.get("scan_layers"):
+        raise SystemExit("--mesh_pipe requires --scan_layers")
+    n_dev = len(jax.devices())
+    pp_mesh = make_pp_mesh(pipe=mesh_pipe, data=max(1, n_dev // mesh_pipe))
+    # microbatches split each data shard's LOCAL rows
+    local_rows = max(1, cfg.batch_size // pp_mesh.shape["data"])
+    num_micro = (int(getattr(args, "pp_microbatches", 0) or 0)
+                 or min(4, local_rows))
+    logger.info("pipeline parallelism: pipe=%d data=%d microbatches=%d",
+                mesh_pipe, pp_mesh.shape["data"], num_micro)
+    return PipeMeshPlan(pp_mesh, stack_pred=stack_pred), _PP(pp_mesh, num_micro)
+
+
 def _loss_cfg_from(cfg: C.Config) -> LossConfig:
     return LossConfig(
         num_labels=cfg.num_labels,
@@ -289,30 +317,19 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         )
         return {"out_cls": logits}
 
-    mesh_pipe = int(getattr(args, "mesh_pipe", 1) or 1)
-    mesh_plan = make_mesh(args)
-    if mesh_pipe > 1:
-        # Pipeline-parallel tower: GPipe over the scanned layer stack
-        # (parallel/pp_text.py); forward parity with model.apply is
-        # test-enforced so eval/checkpoints are unaffected.
-        from ..parallel.pipeline import make_pp_mesh
-        from ..parallel.pp_text import PipeMeshPlan, make_pp_text_forward
+    mesh_plan, pp = _maybe_pp(args, cfg, overrides)
+    if pp is not None:
+        # Pipeline-parallel tower: the encoder routes its scanned layer
+        # stack through the GPipe runner (EncoderConfig.pp_runner);
+        # embeddings/pooler/head and every other flow are untouched.
+        from ..parallel.pp_text import with_pp_runner
+        from ..models.text import TextClassifier
 
-        if not overrides["scan_layers"]:
-            raise SystemExit("--mesh_pipe requires --scan_layers")
-        n_dev = len(jax.devices())
-        pp_mesh = make_pp_mesh(pipe=mesh_pipe, data=max(1, n_dev // mesh_pipe))
-        # microbatches split each data shard's LOCAL rows
-        local_rows = max(1, cfg.batch_size // pp_mesh.shape["data"])
-        num_micro = (int(getattr(args, "pp_microbatches", 0) or 0)
-                     or min(4, local_rows))
-        pp_forward = make_pp_text_forward(model, pp_mesh, num_micro)
-        mesh_plan = PipeMeshPlan(pp_mesh)
-
-        def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic,
-                       word_embeds=None, tim_word_embeds=None):
-            return pp_forward(p, batch, tim_inputs, dropout_rng,
-                              deterministic)
+        model = TextClassifier(
+            with_pp_runner(model.cfg, pp.mesh, pp.num_micro),
+            model.num_labels, head_dropout=model.head_dropout,
+            use_pooled=model.use_pooled,
+        )
 
     frozen = (lambda path, x: "tower" in [str(getattr(q, "key", q)) for q in path]) \
         if freeze else None
@@ -484,6 +501,28 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
             vision_arch=("beit" if img_name == "beit" else "vit"),
         )
 
+    def _text_stack(keys):
+        return "text" in keys and any(
+            keys[i:i + 2] == ("layers", "layer") for i in range(len(keys)))
+
+    mm_mesh_plan, pp = _maybe_pp(args, cfg, overrides, stack_pred=_text_stack)
+    if pp is not None:
+        # Pipeline-parallel TEXT tower of the dual encoder (the frozen
+        # vision stack stays replicated/sequential): the encoder config's
+        # pp_runner routes the scanned text stack through the GPipe
+        # shard_map; all heads / TIM / cache paths are untouched.
+        if is_cnn:
+            raise SystemExit("--mesh_pipe supports transformer text towers")
+        from ..parallel.pp_text import with_pp_runner
+
+        model = MMLateModel(
+            with_pp_runner(text_cfg, pp.mesh, pp.num_micro), vis_cfg,
+            cfg.num_labels, fusion_name=args.fusion_name,
+            dropout=cfg.dropout, patch=geo["patch"], image_size=image_size,
+            num_prefix_tokens=geo["num_prefix_tokens"],
+            vision_arch=("beit" if img_name == "beit" else "vit"),
+        )
+
     if data_splits is None:
         rng = np.random.RandomState(args.seed)
         train, val, test, weights = prepare_data(
@@ -575,7 +614,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         dict(model=model, params=params, forward_fn=forward_fn,
              loss_cfg=_loss_cfg_from(cfg),
              class_weights=None if weights is None else jnp.asarray(weights),
-             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes,
+             tokenizer=tokenizer, mesh_plan=mm_mesh_plan, pipes=pipes,
              image_norm=norm),
         args, cfg, frozen_pred=frozen,
     )

@@ -49,10 +49,17 @@ class EncoderConfig:
     attn_impl: str = "auto"
     remat: bool = False
     # lax.scan over layers: one traced layer instead of an unrolled stack —
-    # ~L-times smaller HLO (faster compiles) and the layout future pipeline
+    # ~L-times smaller HLO (faster compiles) and the layout pipeline
     # parallelism needs (SURVEY.md section 2.3). Param layout gains a leading
     # layer axis, so HF weight import targets the unscanned layout.
     scan_layers: bool = False
+    # Pipeline parallelism hook: a callable
+    # ``(stacked_layer_params, x, key_mask, rng) -> hidden`` (built by
+    # ``parallel.pp_text.make_stack_runner`` — GPipe shard_map over a `pipe`
+    # mesh axis). When set (requires scan_layers), TransformerStack routes
+    # the layer stack through it at apply time; init still runs nn.scan so
+    # the param tree is identical to the non-PP layout.
+    pp_runner: object = None
 
     @property
     def head_dim(self) -> int:
@@ -200,6 +207,13 @@ class TransformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask=None, deterministic=True):
         if self.cfg.scan_layers:
+            if self.cfg.pp_runner is not None and not self.is_initializing():
+                stacked = self.variables["params"]["layers"]["layer"]
+                rng = (self.make_rng("dropout")
+                       if not deterministic and self.cfg.dropout > 0 else None)
+                if key_mask is None:
+                    key_mask = jnp.ones(x.shape[:2], jnp.int32)
+                return self.cfg.pp_runner(stacked, x, key_mask, rng)
             scan = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0},

@@ -1,43 +1,80 @@
-"""Pipeline-parallel text-classifier training (``run_txt --mesh_pipe P``).
+"""Pipeline-parallel towers (``--mesh_pipe P``).
 
-Rebuilds ``models.text.TextClassifier``'s forward functionally from the SAME
-param tree the flax module owns (scan_layers layout), routing the layer
-stack through the GPipe schedule (``parallel/pipeline.py``) while
-embeddings / pooler / head run replicated. Forward parity with
-``model.apply`` is test-enforced (tests/test_pp_text.py), so checkpoints,
-importers and eval flow through unchanged.
+``make_stack_runner`` builds the GPipe shard_map runner that
+``EncoderConfig.pp_runner`` plugs into ``TransformerStack``: the model's own
+``apply`` then routes its layer stack through the pipeline — embeddings,
+poolers, fusion heads and every other code path (checkpoints, importers,
+eval, TIM) flow through unchanged. Works for any tower built on the shared
+encoder (run_txt text classifier; the dual encoder's text side in
+run_mm_late).
 
 Mesh: ``(data, pipe)`` — batch rows shard over ``data``, the stacked layer
-axis shards over ``pipe``; everything else replicates.
+axis shards over ``pipe``; everything else replicates (``PipeMeshPlan``).
+Forward and gradient parity with the sequential stack are test-enforced
+(tests/test_pp_text.py, tests/test_pipeline.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable, Optional
+
 import jax
-import jax.numpy as jnp
-from flax import linen as nn
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.encoder import EncoderLayer, Pooler, TextEmbeddings
+from ..models.encoder import EncoderLayer
 from .pipeline import make_pipelined_stack
 
-STACK_PATH = ("tower", "encoder", "layers", "layer")
+
+def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int) -> Callable:
+    """Runner ``(stacked_params, x, key_mask, rng) -> hidden`` for
+    ``EncoderConfig.pp_runner``. ``cfg``: the encoder config WITHOUT the
+    runner set (the layer math must match the sequential stack)."""
+    if not cfg.scan_layers:
+        raise ValueError("pipeline parallelism requires scan_layers "
+                         "(stacked layer params)")
+
+    def layer_fn(p_one, h, km, rng):
+        rngs = None if rng is None else {"dropout": rng}
+        return EncoderLayer(cfg).apply({"params": p_one}, h, km, rng is None,
+                                       rngs=rngs)
+
+    run = make_pipelined_stack(layer_fn, mesh,
+                               num_microbatches=num_microbatches)
+
+    def runner(stacked, x, key_mask, rng):
+        return run(stacked, x, key_mask, rng=rng)
+
+    return runner
 
 
-def _stacked(tree):
-    node = tree
-    for k in STACK_PATH:
-        node = node[k]
-    return node
+def with_pp_runner(cfg, mesh: Mesh, num_microbatches: int):
+    """cfg -> cfg with pp_runner installed (runner built from the plain cfg
+    so layer math is identical)."""
+    runner = make_stack_runner(cfg, mesh, num_microbatches)
+    return dataclasses.replace(cfg, pp_runner=runner)
+
+
+def _default_stack_pred(keys) -> bool:
+    return any(keys[i:i + 2] == ("layers", "layer")
+               for i in range(len(keys)))
 
 
 class PipeMeshPlan:
     """Trainer-compatible mesh plan for the (data, pipe) mesh: batches shard
-    on ``data``; the scanned layer stack shards on ``pipe``; all other
-    params replicate."""
+    on ``data``; scanned layer stacks selected by ``stack_pred`` shard on
+    ``pipe``; all other params replicate.
 
-    def __init__(self, mesh: Mesh):
+    ``stack_pred(keys)`` decides per param path (tuple of str keys) — the
+    default shards every ("layers", "layer") stack; pass a narrower
+    predicate when only one tower is pipelined (e.g. the dual encoder's
+    text side while the frozen vision stack stays replicated)."""
+
+    def __init__(self, mesh: Mesh,
+                 stack_pred: Optional[Callable] = None):
         self.mesh = mesh
+        self.stack_pred = stack_pred or _default_stack_pred
 
     def batch_sharding(self):
         return NamedSharding(self.mesh, P("data"))
@@ -48,8 +85,7 @@ class PipeMeshPlan:
     def shard_params(self, params):
         def spec(path, _):
             keys = tuple(str(getattr(p, "key", p)) for p in path)
-            if any(keys[i:i + len(STACK_PATH)] == STACK_PATH
-                   for i in range(len(keys))):
+            if self.stack_pred(keys):
                 return NamedSharding(self.mesh, P("pipe"))
             return NamedSharding(self.mesh, P())
 
@@ -58,8 +94,6 @@ class PipeMeshPlan:
 
     def shard_batch_stacked(self, batches):
         """(K, B, ...) chunks for --steps_per_dispatch: batch axis is axis 1."""
-        import numpy as np
-
         stacked = NamedSharding(self.mesh, P(None, "data"))
         rep = NamedSharding(self.mesh, P())
         return {k: jax.device_put(v, stacked if np.ndim(v) >= 2 else rep)
@@ -68,54 +102,3 @@ class PipeMeshPlan:
     # Trainer multi-host hooks (single-process PP for now)
     def process_rows(self, global_batch_size):
         raise NotImplementedError("PP is single-process in this round")
-
-
-def make_pp_text_forward(model, mesh: Mesh, num_microbatches: int):
-    """forward_fn(params, batch, tim_inputs, dropout_rng, deterministic)
-    -> {"out_cls"} for make_train_step / make_eval_step, with the layer
-    stack pipelined over the mesh's ``pipe`` axis.
-
-    ``model``: a ``TextClassifier`` whose cfg has ``scan_layers=True``.
-    """
-    cfg = model.cfg
-    if not cfg.scan_layers:
-        raise ValueError("pipeline parallelism requires --scan_layers "
-                         "(stacked layer params)")
-
-    def layer_fn(p_one, h, km, rng):
-        rngs = None if rng is None else {"dropout": rng}
-        return EncoderLayer(cfg).apply({"params": p_one}, h, km, rng is None,
-                                       rngs=rngs)
-
-    run_stack = make_pipelined_stack(layer_fn, mesh,
-                                     num_microbatches=num_microbatches)
-
-    def forward(params, batch, tim_inputs, dropout_rng, deterministic):
-        del tim_inputs
-        p = params["params"]
-        tower = p["tower"]
-        if deterministic or dropout_rng is None:
-            r_emb = r_layers = r_head = None
-        else:
-            r_emb, r_layers, r_head = jax.random.split(dropout_rng, 3)
-        ids = batch["ids"]
-        mask = batch.get("mask")
-        if mask is None:
-            mask = jnp.ones_like(ids)
-        x = TextEmbeddings(cfg).apply(
-            {"params": tower["embeddings"]}, ids,
-            batch.get("token_type_ids"), mask, deterministic,
-            rngs=None if r_emb is None else {"dropout": r_emb},
-        )
-        hidden = run_stack(_stacked(p), x, mask, rng=r_layers)
-        pooled = Pooler(cfg).apply({"params": tower["pooler"]}, hidden)
-        feat = pooled if model.use_pooled else hidden[:, 0, :]
-        feat = nn.Dropout(model.head_dropout).apply(
-            {}, feat, deterministic,
-            rngs=None if r_head is None else {"dropout": r_head},
-        )
-        logits = nn.Dense(model.num_labels, dtype=jnp.float32).apply(
-            {"params": p["classifier"]}, feat.astype(jnp.float32))
-        return {"out_cls": logits}
-
-    return forward

@@ -1,6 +1,9 @@
-"""Pipeline-parallel text classifier (parallel/pp_text.py): functional
-forward parity with TextClassifier.apply, gradient parity, and the
-run_txt --mesh_pipe CLI end-to-end."""
+"""Pipeline-parallel towers (parallel/pp_text.py + EncoderConfig.pp_runner):
+model.apply with the GPipe runner must match the sequential stack — for the
+text classifier AND the dual encoder's text side — plus CLI end-to-end runs
+with --mesh_pipe."""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -14,70 +17,111 @@ from socialmedia_textimage_classification_auxlosses_tpu.parallel.pipeline import
     make_pp_mesh,
 )
 from socialmedia_textimage_classification_auxlosses_tpu.parallel.pp_text import (
-    PipeMeshPlan, make_pp_text_forward,
+    PipeMeshPlan, with_pp_runner,
 )
 
 from fixtures import make_task_fixture, patch_task
 
+TINY = dict(dropout=0.0, hidden=16, layers=4, heads=2, mlp_dim=32,
+            max_positions=16, vocab_size=50, scan_layers=True,
+            attn_impl="jnp")
 
-def _tiny_model(use_pooled=False):
-    cfg = text_encoder_config(
-        "bert", None, dropout=0.0, hidden=16, layers=4, heads=2, mlp_dim=32,
-        max_positions=16, vocab_size=50, scan_layers=True, attn_impl="jnp",
-    )
-    return TextClassifier(cfg, num_labels=3, head_dropout=0.0,
-                          use_pooled=use_pooled)
+
+def _tiny_cfg():
+    return text_encoder_config("bert", None, **TINY)
 
 
 @pytest.mark.parametrize("use_pooled", [False, True])
-def test_pp_forward_matches_model_apply(rng, use_pooled):
-    model = _tiny_model(use_pooled)
+def test_pp_text_classifier_matches_sequential(rng, use_pooled):
+    cfg = _tiny_cfg()
+    model = TextClassifier(cfg, num_labels=3, head_dropout=0.0,
+                           use_pooled=use_pooled)
     ids = jnp.array(rng.randint(0, 50, (8, 12)))
     mask = jnp.ones((8, 12), jnp.int32).at[3, 8:].set(0)
     tt = jnp.zeros((8, 12), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids, mask, tt)
 
     mesh = make_pp_mesh(pipe=2, data=4)
-    fwd = make_pp_text_forward(model, mesh, num_microbatches=2)
+    pp_model = TextClassifier(with_pp_runner(cfg, mesh, 2), num_labels=3,
+                              head_dropout=0.0, use_pooled=use_pooled)
     plan = PipeMeshPlan(mesh)
     p_dev = plan.shard_params(params)
-    batch = plan.shard_batch({"ids": ids, "mask": mask,
-                              "token_type_ids": tt})
 
     ref = model.apply(params, ids, mask, tt, deterministic=True)
-    out = fwd(p_dev, batch, None, None, True)["out_cls"]
+    out = pp_model.apply(p_dev, ids, mask, tt, deterministic=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
 
-def test_pp_gradients_match_model_apply(rng):
-    model = _tiny_model()
+def test_pp_text_classifier_gradients_match(rng):
+    cfg = _tiny_cfg()
+    model = TextClassifier(cfg, num_labels=3, head_dropout=0.0)
     ids = jnp.array(rng.randint(0, 50, (8, 12)))
     mask = jnp.ones((8, 12), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), ids, mask,
-                        jnp.zeros_like(ids))
+    tt = jnp.zeros_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, tt)
     mesh = make_pp_mesh(pipe=4, data=2)
-    fwd = make_pp_text_forward(model, mesh, num_microbatches=4)
+    pp_model = TextClassifier(with_pp_runner(cfg, mesh, 4), num_labels=3,
+                              head_dropout=0.0)
     plan = PipeMeshPlan(mesh)
-    batch = {"ids": ids, "mask": mask,
-             "token_type_ids": jnp.zeros_like(ids)}
     labels = jnp.eye(3, dtype=jnp.float32)[np.arange(8) % 3]
 
-    def loss_pp(p):
-        logits = fwd(p, batch, None, None, True)["out_cls"]
-        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * labels, -1))
+    def loss(m):
+        def f(p):
+            logits = m.apply(p, ids, mask, tt, deterministic=True)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * labels, -1))
+        return f
 
-    def loss_ref(p):
-        logits = model.apply(p, ids, mask, jnp.zeros_like(ids),
-                             deterministic=True)
-        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * labels, -1))
-
-    g_pp = jax.grad(loss_pp)(plan.shard_params(params))
-    g_ref = jax.grad(loss_ref)(params)
+    g_pp = jax.grad(loss(pp_model))(plan.shard_params(params))
+    g_ref = jax.grad(loss(model))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_pp),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_pp_dual_encoder_text_side(rng):
+    """MMLateModel with a pipelined text stack (frozen vision sequential)
+    must reproduce the plain model's outputs."""
+    from socialmedia_textimage_classification_auxlosses_tpu.models.encoder import (
+        EncoderConfig,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models.fusion import (
+        MMLateModel, init_mm_late_params,
+    )
+
+    text_cfg = _tiny_cfg()
+    vis_cfg = EncoderConfig(vocab_size=1, hidden=16, layers=1, heads=2,
+                            mlp_dim=32, max_positions=1, type_vocab=0,
+                            ln_style="pre", dropout=0.0, attn_impl="jnp")
+
+    def build(tc):
+        return MMLateModel(tc, vis_cfg, num_labels=3,
+                           fusion_name="attention", dropout=0.0, patch=8,
+                           image_size=16)
+
+    model = build(text_cfg)
+    ids = jnp.array(rng.randint(0, 50, (8, 12)))
+    mask = jnp.ones((8, 12), jnp.int32)
+    pixels = jnp.array(rng.randn(8, 3, 16, 16), jnp.float32)
+    params = init_mm_late_params(model, jax.random.PRNGKey(0), ids, mask,
+                                 pixels)
+
+    mesh = make_pp_mesh(pipe=2, data=4)
+    pp_model = build(with_pp_runner(text_cfg, mesh, 2))
+
+    def text_stack(keys):
+        return "text" in keys and any(
+            keys[i:i + 2] == ("layers", "layer") for i in range(len(keys)))
+
+    plan = PipeMeshPlan(mesh, stack_pred=text_stack)
+    p_dev = plan.shard_params(params)
+
+    ref = model.apply(params, ids, mask, pixels, deterministic=True)
+    out = pp_model.apply(p_dev, ids, mask, pixels, deterministic=True)
+    for k in ("out_cls", "logits_per_text"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
 
 
 @pytest.fixture
@@ -91,8 +135,6 @@ def task3(tmp_path, monkeypatch):
 
 def test_run_txt_mesh_pipe_end_to_end(task3):
     """Real CLI: 2-stage pipeline x 4-way data on the virtual 8-CPU mesh."""
-    import os
-
     from socialmedia_textimage_classification_auxlosses_tpu.cli import run_txt
 
     run_txt.main(["--model_name", "bert", "--task", "3", "--epochs", "1",
@@ -101,3 +143,19 @@ def test_run_txt_mesh_pipe_end_to_end(task3):
                   "--log_every", "1"])
     out = str(task3 / "results" / "results_dir_txt") + "/"
     assert os.path.isfile(out + "bert_task3_seed30_metrics_val.csv")
+
+
+def test_run_mm_late_mesh_pipe_end_to_end(task3):
+    """Flagship runner with the pipelined text tower + aux losses."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    run_mm_late.main(["--txt_model_name", "bert", "--img_model_name", "vit",
+                      "--fusion_name", "attention", "--task", "3",
+                      "--epochs", "1", "--arch", "tiny", "--dtype",
+                      "float32", "--attn_impl", "jnp", "--scan_layers",
+                      "--mesh_pipe", "2", "--use_clip_loss",
+                      "--use_tim_loss", "--log_every", "1"])
+    out = str(task3 / "results" / "results_dir_mm_late") + "/"
+    stem = "bert-vit-attention_task3_seed30_itc0.1itm0.1_"
+    found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
+    assert found, (out, stem)
