@@ -23,6 +23,14 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the flagship step compiles in ~90 s on a
+# quiet chip but 15-20 min under pool contention (BASELINE.md); the cache
+# (verified working through the tunneled backend) makes repeat bench runs
+# hit in seconds. Must be set before JAX initializes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 BATCH = 8
 SEQ = 128
 IMG = 224
