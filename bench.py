@@ -41,9 +41,14 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1, prng_impl: str = "rbg"):
     import jax
     import jax.numpy as jnp
+
+    # TPU-native PRNG for dropout/ITM draws (threefry mask generation costs
+    # ~10% of the flagship step, BASELINE.md ablation); the framework CLI
+    # default (--prng_impl rbg) matches.
+    jax.config.update("jax_default_prng_impl", prng_impl)
 
     import __graft_entry__ as G
     from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
@@ -263,6 +268,9 @@ def main():
                         help="optimizer steps per device dispatch (scanned "
                              "multi-step, train.steps.make_train_many; 1 = "
                              "per-step dispatch)")
+    parser.add_argument("--prng_impl", default=os.environ.get(
+                            "SMTC_BENCH_PRNG", "rbg"),
+                        choices=["rbg", "threefry"])
     args = parser.parse_args()
 
     baseline = None
@@ -284,13 +292,15 @@ def main():
         steps_per_sec, loss = measure_ours(
             args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
-            steps_per_dispatch=args.steps_per_dispatch)
+            steps_per_dispatch=args.steps_per_dispatch,
+            prng_impl=args.prng_impl)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
         steps_per_sec, loss = measure_ours(
             args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
-            steps_per_dispatch=args.steps_per_dispatch)
+            steps_per_dispatch=args.steps_per_dispatch,
+            prng_impl=args.prng_impl)
 
     posts_per_sec = steps_per_sec * BATCH
     print(json.dumps({

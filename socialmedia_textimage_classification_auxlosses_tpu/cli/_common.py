@@ -56,6 +56,13 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="attention kernel implementation ('fused' = "
                              "whole QKV+SDPA+out-proj block as one Pallas "
                              "kernel, ops/attn_block.py)")
+    parser.add_argument("--prng_impl", type=str, default="rbg",
+                        choices=["rbg", "threefry"],
+                        help="PRNG for dropout/ITM draws: 'rbg' is the "
+                             "TPU-native generator (~10%% of the flagship "
+                             "step goes to threefry mask generation, "
+                             "BASELINE.md ablation); runs stay "
+                             "deterministic per seed either way")
     parser.add_argument("--mesh_pipe", type=int, default=1,
                         help="pipeline-parallel stages for the text tower "
                              "(GPipe over the scanned layer stack; requires "
@@ -113,8 +120,12 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     return parser
 
 
-def seed_everything(seed: int):
+def seed_everything(seed: int, prng_impl: str = None):
     np.random.seed(seed)
+    if prng_impl:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", prng_impl)
 
 
 def results_dir_for(base: str, testing: bool) -> str:

@@ -35,7 +35,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    seed_everything(args.seed)
+    seed_everything(args.seed, getattr(args, "prng_impl", None))
     results_dir = results_dir_for(C.results_dir_mm_early, args.testing)
     model_name = args.model
     logger.info(
