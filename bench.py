@@ -26,10 +26,19 @@ import numpy as np
 # Persistent XLA compilation cache: the flagship step compiles in ~90 s on a
 # quiet chip but 15-20 min under pool contention (BASELINE.md); the cache
 # (verified working through the tunneled backend) makes repeat bench runs
-# hit in seconds. Must be set before JAX initializes.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+# hit in seconds. The env var alone is too late — this image's sitecustomize
+# pre-imports jax, freezing config defaults — so enable_compile_cache()
+# below also sets the config explicitly.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+
+def enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 8
 SEQ = 128
@@ -45,6 +54,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     import jax
     import jax.numpy as jnp
 
+    enable_compile_cache()
     # TPU-native PRNG for dropout/ITM draws (threefry mask generation costs
     # ~10% of the flagship step, BASELINE.md ablation); the framework CLI
     # default (--prng_impl rbg) matches.
