@@ -20,7 +20,7 @@ from ..models.vilt import ViltClassifier, init_vilt_params
 from ..models.encoder import EncoderConfig
 from ..models.vision import IMAGE_NORM
 from ..utils.logging import get_logger
-from ._build import Setup, _loss_cfg_from, _finish, _make_pipes, make_mesh
+from ._build import Setup, _loss_cfg_from, _finish, _make_pipes, make_mesh, _maybe_pp
 from ._common import arch_overrides
 
 logger = get_logger(__name__)
@@ -77,6 +77,14 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             remat=getattr(args, "remat", False),
             scan_layers=getattr(args, "scan_layers", False),
         )
+        mesh_plan, pp = _maybe_pp(args, cfg,
+                                  {"scan_layers": enc_cfg.scan_layers})
+        if pp is not None:
+            # ViLT's joint encoder is a TransformerStack: the GPipe runner
+            # plugs straight into its config (parallel/pp_text.py)
+            from ..parallel.pp_text import with_pp_runner
+
+            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro)
         model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
                                image_size=geo["image_size"], dropout=cfg.dropout)
         L = cfg.max_length
@@ -115,6 +123,11 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
                                   image_size=geo["image_size"])
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     else:  # lxmert
+        if int(getattr(args, "mesh_pipe", 1) or 1) > 1:
+            raise SystemExit("--mesh_pipe supports vilt (TransformerStack "
+                             "backbone); lxmert's cross-modal blocks are "
+                             "not pipelined")
+        mesh_plan = make_mesh(args)
         lx_cfg = LxmertConfig(
             vocab_size=vocab, hidden=hidden, heads=heads, mlp_dim=mlp_dim,
             l_layers=(2 if args.arch != "base" else hf.get("l_layers", 9)),
@@ -159,7 +172,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         dict(model=model, params=params, forward_fn=forward_fn,
              loss_cfg=_loss_cfg_from(cfg),
              class_weights=None if weights is None else jnp.asarray(weights),
-             tokenizer=tokenizer, mesh_plan=make_mesh(args), pipes=pipes),
+             tokenizer=tokenizer, mesh_plan=mesh_plan, pipes=pipes),
         args, cfg,
     )
 

@@ -145,6 +145,20 @@ def test_run_txt_mesh_pipe_end_to_end(task3):
     assert os.path.isfile(out + "bert_task3_seed30_metrics_val.csv")
 
 
+def test_run_mm_early_vilt_mesh_pipe_end_to_end(task3):
+    """ViLT's joint encoder (a TransformerStack) pipelines via the same
+    config hook."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_early
+
+    run_mm_early.main(["--model", "vilt", "--task", "3", "--epochs", "1",
+                       "--arch", "tiny", "--dtype", "float32",
+                       "--attn_impl", "jnp", "--scan_layers",
+                       "--mesh_pipe", "2", "--log_every", "1"])
+    out = str(task3 / "results" / "results_dir_mm_early") + "/"
+    found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
+    assert found, out
+
+
 def test_run_mm_late_mesh_pipe_end_to_end(task3):
     """Flagship runner with the pipelined text tower + aux losses."""
     from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
