@@ -50,7 +50,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
-                 steps_per_dispatch: int = 1, prng_impl: str = "rbg"):
+                 steps_per_dispatch: int = 1, prng_impl: str = "rbg",
+                 batch: int = BATCH):
     import jax
     import jax.numpy as jnp
 
@@ -68,8 +69,9 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         LossConfig, make_train_many, make_train_step,
     )
 
+    bsz = batch
     model, params, batch = G._flagship(arch="base", dtype=dtype,
-                                       attn_impl=attn_impl, batch=BATCH,
+                                       attn_impl=attn_impl, batch=bsz,
                                        seq_len=SEQ, image_size=IMG,
                                        num_labels=NUM_LABELS)
 
@@ -163,7 +165,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         metrics = run_rep(r)
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
-        print(f"# rep {r}: {steps / dt * BATCH:.1f} posts/s", file=sys.stderr)
+        print(f"# rep {r}: {steps / dt * bsz:.1f} posts/s", file=sys.stderr)
         best = max(best, steps / dt)
     return best, float(np.ravel(np.asarray(metrics["loss"]))[-1])
 
@@ -281,6 +283,9 @@ def main():
     parser.add_argument("--prng_impl", default=os.environ.get(
                             "SMTC_BENCH_PRNG", "rbg"),
                         choices=["rbg", "threefry"])
+    parser.add_argument("--batch", type=int, default=BATCH,
+                        help="override batch size (ablation runs; the "
+                             "graded metric stays at the paper's batch 8)")
     args = parser.parse_args()
 
     baseline = None
@@ -303,18 +308,18 @@ def main():
             args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl)
+            prng_impl=args.prng_impl, batch=args.batch)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
         steps_per_sec, loss = measure_ours(
             args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl)
+            prng_impl=args.prng_impl, batch=args.batch)
 
-    posts_per_sec = steps_per_sec * BATCH
+    posts_per_sec = steps_per_sec * args.batch
     print(json.dumps({
-        "metric": "posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, batch 8)",
+        "metric": f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, batch {args.batch})",
         "value": round(posts_per_sec, 2),
         "unit": "posts/sec",
         "vs_baseline": round(posts_per_sec / baseline["posts_per_sec"], 2),

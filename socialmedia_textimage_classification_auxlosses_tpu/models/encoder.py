@@ -20,7 +20,6 @@ Parameter naming follows a flat query/key/value/out + mlp_in/mlp_out scheme;
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
