@@ -73,6 +73,12 @@ class Trainer:
         self.resume = resume
         self.global_step = 0
         self.start_epoch = 0
+        # Preemption handling: TPU pods get evicted with SIGTERM; when a
+        # checkpointer is configured, fit() installs a handler that requests
+        # a final checkpoint + clean exit at the next step boundary (resume
+        # with --resume). The reference has no notion of this (its only
+        # persistence is the post-training state_dict, mm_late.py:529-531).
+        self._preempted = False
 
     def _write_jsonl(self, record: Dict):
         if not self.log_jsonl:
@@ -98,6 +104,45 @@ class Trainer:
 
     # -- train --------------------------------------------------------------
 
+    def _install_preempt_handler(self):
+        """SIGTERM -> checkpoint-and-exit at the next step boundary (TPU-pod
+        preemption). Active only when periodic checkpointing is configured."""
+        if self.checkpointer is None:
+            return None
+        import signal
+
+        def handler(signum, frame):
+            logger.warning("SIGTERM received: will checkpoint and exit at "
+                           "the next step boundary")
+            self._preempted = True
+
+        try:
+            return signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # not the main thread
+            return None
+
+    def _restore_preempt_handler(self, prev):
+        if prev is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev)
+
+    def _preempt_save(self, epoch):
+        if self.checkpointer is None:
+            return
+        try:
+            self.checkpointer.save(
+                self.global_step,
+                {"params": self.params, "opt_state": self.opt_state,
+                 "step": self.global_step, "epoch": epoch})
+        except Exception:
+            # a periodic save already covered this exact step
+            logger.info("preemption save skipped (step %d already saved)",
+                        self.global_step)
+        self.checkpointer.wait()
+        logger.warning("preemption checkpoint saved at step %d "
+                       "(resume with --resume)", self.global_step)
+
     def _fit_epoch_chunked(self, train_pipe, epoch):
         """Epoch via the scanned multi-step dispatch: K optimizer steps per
         device call (steps.make_train_many). Bit-identical trajectory to the
@@ -108,6 +153,8 @@ class Trainer:
             self.steps_per_dispatch, shuffle=True, rng=self.host_rng,
             mesh_plan=self.mesh_plan,
         ):
+            if self._preempted:
+                break
             prev_step = self.global_step
             self.params, self.opt_state, metrics = self.train_many(
                 self.params, self.opt_state, batches, self.root_key,
@@ -193,6 +240,7 @@ class Trainer:
         res_te: List[Dict] = []
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
+        restore_sig = self._install_preempt_handler()
         try:
             for epoch in range(self.start_epoch, epochs):
                 logger.info("Epoch: %d", epoch + 1)
@@ -202,48 +250,51 @@ class Trainer:
                 if self.train_many is not None and self.steps_per_dispatch > 1:
                     seen, last_metrics = self._fit_epoch_chunked(
                         train_pipe, epoch)
-                    self._epoch_tail(train_pipe, epoch, t_epoch, seen,
-                                     last_metrics)
-                    self._epoch_eval(val_pipe, te_pipe, epoch, epochs,
-                                     res_val, res_te, val_filename,
-                                     te_filename)
-                    continue
-                for i, batch in enumerate(
-                    train_pipe.device_iter(shuffle=True, rng=self.host_rng,
-                                           mesh_plan=self.mesh_plan)
-                ):
-                    step_key = jax.random.fold_in(self.root_key, self.global_step)
-                    self.params, self.opt_state, metrics = self.train_step(
-                        self.params, self.opt_state, batch, step_key
-                    )
-                    self.global_step += 1
-                    seen += int(train_pipe.cfg.batch_size)
-                    last_metrics = metrics
-                    if i % self.log_every == 0:
-                        # blocks only on this step's scalars
-                        m = {k: float(v) for k, v in metrics.items()}
-                        acc = 100.0 * m["correct"] / max(m["n"], 1.0)
-                        logger.info(
-                            "step %d loss %.4f acc %.2f%%",
-                            self.global_step, m["loss"], acc,
+                else:
+                    for i, batch in enumerate(
+                        train_pipe.device_iter(shuffle=True, rng=self.host_rng,
+                                               mesh_plan=self.mesh_plan)
+                    ):
+                        step_key = jax.random.fold_in(self.root_key,
+                                                      self.global_step)
+                        self.params, self.opt_state, metrics = self.train_step(
+                            self.params, self.opt_state, batch, step_key
                         )
-                        self._write_jsonl(
-                            {"kind": "train", "step": self.global_step,
-                             "epoch": epoch, "accuracy": acc,
-                             **{k: v for k, v in m.items()
-                                if k not in ("correct", "n")}}
-                        )
-                    if self.checkpointer is not None:
-                        self.checkpointer.maybe_save(
-                            self.global_step,
-                            {"params": self.params, "opt_state": self.opt_state,
-                             "step": self.global_step, "epoch": epoch},
-                        )
+                        self.global_step += 1
+                        seen += int(train_pipe.cfg.batch_size)
+                        last_metrics = metrics
+                        if i % self.log_every == 0:
+                            # blocks only on this step's scalars
+                            m = {k: float(v) for k, v in metrics.items()}
+                            acc = 100.0 * m["correct"] / max(m["n"], 1.0)
+                            logger.info(
+                                "step %d loss %.4f acc %.2f%%",
+                                self.global_step, m["loss"], acc,
+                            )
+                            self._write_jsonl(
+                                {"kind": "train", "step": self.global_step,
+                                 "epoch": epoch, "accuracy": acc,
+                                 **{k: v for k, v in m.items()
+                                    if k not in ("correct", "n")}}
+                            )
+                        if self.checkpointer is not None:
+                            self.checkpointer.maybe_save(
+                                self.global_step,
+                                {"params": self.params,
+                                 "opt_state": self.opt_state,
+                                 "step": self.global_step, "epoch": epoch},
+                            )
+                        if self._preempted:
+                            break
                 self._epoch_tail(train_pipe, epoch, t_epoch, seen,
                                  last_metrics)
+                if self._preempted:
+                    self._preempt_save(epoch)
+                    break
                 self._epoch_eval(val_pipe, te_pipe, epoch, epochs,
                                  res_val, res_te, val_filename, te_filename)
         finally:
+            self._restore_preempt_handler(restore_sig)
             if self.profile_dir:
                 jax.profiler.stop_trace()
         if model_path:
