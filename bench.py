@@ -51,7 +51,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
                  steps_per_dispatch: int = 1, prng_impl: str = "rbg",
-                 batch: int = BATCH):
+                 batch: int = BATCH, opt_moments: str = "f32"):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +114,9 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         lazy_cfg = LazyEmbConfig(path=find_word_embedding_path(params),
                                  lr=1e-5, weight_decay=2.5e-4)
         frozen = any_of(frozen, lazy_emb_predicate(lazy_cfg))
-    tx = make_optimizer(1e-5, 2.5e-4, frozen)
+    tx = make_optimizer(1e-5, 2.5e-4, frozen,
+                        mu_dtype=("bfloat16" if opt_moments == "bf16"
+                                  else None))
     opt_state = tx.init(params)
     if lazy_cfg is not None:
         opt_state = {"tx": opt_state,
@@ -286,6 +288,9 @@ def main():
     parser.add_argument("--batch", type=int, default=BATCH,
                         help="override batch size (ablation runs; the "
                              "graded metric stays at the paper's batch 8)")
+    parser.add_argument("--opt_moments", default=os.environ.get(
+                            "SMTC_BENCH_MOMENTS", "f32"),
+                        choices=["f32", "bf16"])
     args = parser.parse_args()
 
     baseline = None
@@ -308,14 +313,16 @@ def main():
             args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl, batch=args.batch)
+            prng_impl=args.prng_impl, batch=args.batch,
+            opt_moments=args.opt_moments)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
         steps_per_sec, loss = measure_ours(
             args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl, batch=args.batch)
+            prng_impl=args.prng_impl, batch=args.batch,
+            opt_moments=args.opt_moments)
 
     posts_per_sec = steps_per_sec * args.batch
     print(json.dumps({

@@ -130,7 +130,10 @@ def _finish(setup_kwargs, args, cfg, frozen_pred=None):
                            if frozen_pred else lazy_emb_predicate(lazy_cfg))
             logger.info("lazy embedding AdamW on %s", "/".join(path))
 
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred)
+    mu_dtype = ("bfloat16" if getattr(args, "opt_moments", "f32") == "bf16"
+                else None)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred,
+                        mu_dtype=mu_dtype)
     mesh_plan = setup_kwargs["mesh_plan"]
     if mesh_plan is not None:
         params = mesh_plan.shard_params(params)

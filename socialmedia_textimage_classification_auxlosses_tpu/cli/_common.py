@@ -56,6 +56,12 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="attention kernel implementation ('fused' = "
                              "whole QKV+SDPA+out-proj block as one Pallas "
                              "kernel, ops/attn_block.py)")
+    parser.add_argument("--opt_moments", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="AdamW first-moment storage dtype: bf16 halves "
+                             "the m-state HBM traffic (the optimizer is "
+                             "weight-HBM-bound at batch 8, BASELINE.md); "
+                             "loss-trajectory equivalence tested")
     parser.add_argument("--prng_impl", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="PRNG for dropout/ITM draws: 'rbg' is the "

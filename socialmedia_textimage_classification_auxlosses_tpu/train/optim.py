@@ -50,9 +50,16 @@ def make_optimizer(
     weight_decay: float,
     frozen_predicate: Optional[Callable] = None,
     grad_clip: Optional[float] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """``mu_dtype='bfloat16'`` stores AdamW's FIRST moment in bf16
+    (``--opt_moments bf16``): halves the m-state HBM traffic per step — the
+    optimizer update is weight-HBM-bound at the paper's batch sizes
+    (BASELINE.md) — while the variance and params stay f32 (the sqrt in the
+    update is precision-sensitive; the momentum average is not).
+    Loss-trajectory equivalence at tiny scale: tests/test_optim_moments.py."""
     adamw = optax.adamw(learning_rate=lr, weight_decay=weight_decay,
-                        b1=0.9, b2=0.999, eps=1e-8)
+                        b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype)
     if grad_clip:
         adamw = optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
     if frozen_predicate is None:
