@@ -381,6 +381,16 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         image_size = vit_geometry(model_name, model_dir)["image_size"]
         norm = IMAGE_NORM[model_name]
         center_crop_from = None
+    img_mesh_plan, pp = _maybe_pp(args, cfg, overrides)
+    if pp is not None:
+        # Pipeline-parallel image tower (ViT/DEiT stacks; BEiT keeps its
+        # explicit per-layer rel-pos loop and the CNNs have no stack)
+        if is_cnn or model_name == "beit":
+            raise SystemExit("--mesh_pipe supports vit/deit towers here")
+        from ..parallel.pp_text import with_pp_runner
+
+        model = dataclasses.replace(
+            model, cfg=with_pp_runner(model.cfg, pp.mesh, pp.num_micro))
 
     if data_splits is None:
         rng = np.random.RandomState(args.seed)
@@ -452,7 +462,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         dict(model=model, params=params, forward_fn=forward_fn,
              loss_cfg=_loss_cfg_from(cfg),
              class_weights=None if weights is None else jnp.asarray(weights),
-             tokenizer=None, mesh_plan=make_mesh(args), pipes=pipes,
+             tokenizer=None, mesh_plan=img_mesh_plan, pipes=pipes,
              image_norm=norm),
         args, cfg, frozen_pred=frozen,
     )

@@ -159,6 +159,19 @@ def test_run_mm_early_vilt_mesh_pipe_end_to_end(task3):
     assert found, out
 
 
+def test_run_img_mesh_pipe_end_to_end(task3):
+    """ViT image tower pipelines via the same hook."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_img
+
+    run_img.main(["--model_name", "vit", "--task", "3", "--epochs", "1",
+                  "--arch", "tiny", "--dtype", "float32", "--attn_impl",
+                  "jnp", "--scan_layers", "--mesh_pipe", "2",
+                  "--log_every", "1"])
+    out = str(task3 / "results" / "results_dir_img") + "/"
+    found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
+    assert found, out
+
+
 def test_run_mm_late_mesh_pipe_end_to_end(task3):
     """Flagship runner with the pipelined text tower + aux losses."""
     from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
