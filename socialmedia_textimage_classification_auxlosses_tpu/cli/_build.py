@@ -212,6 +212,13 @@ class VisionCachedPipe:
         return (np.stack([self._cache[i][0] for i in ids]),
                 np.stack([self._cache[i][1] for i in ids]))
 
+    def _with_features(self, batch):
+        hidden, pooled = self._features(batch)
+        batch["vision_hidden"] = hidden
+        batch["vision_pooled"] = pooled
+        del batch["pixel_values"]  # the step never touches pixels
+        return batch
+
     def device_iter(self, shuffle=False, rng=None, mesh_plan=None):
         import jax
 
@@ -226,11 +233,56 @@ class VisionCachedPipe:
         pending = None
         for batch in self.inner.batches(shuffle=shuffle, rng=rng,
                                         local_rows=local_rows):
-            hidden, pooled = self._features(batch)
-            batch["vision_hidden"] = hidden
-            batch["vision_pooled"] = pooled
-            del batch["pixel_values"]  # the step never touches pixels
-            nxt = put(batch)
+            batch = self._with_features(batch)
+            # data_id stays host-side (int64; see data/pipeline.py)
+            host = {k: batch.pop(k) for k in ("data_id",) if k in batch}
+            nxt = dict(put(batch))
+            nxt.update(host)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+    def device_iter_chunks(self, chunk_steps, shuffle=False, rng=None,
+                           mesh_plan=None):
+        """Chunked (K, B, ...) dispatch with cached vision activations —
+        mirrors SplitPipeline.device_iter_chunks (padded tail carries
+        step_valid=0)."""
+        import jax
+
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "chunked dispatch is single-process; use device_iter on pods")
+        put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
+               else jax.device_put)
+
+        def emit(chunk):
+            k = len(chunk)
+            step_valid = np.ones(chunk_steps, np.float32)
+            if k < chunk_steps:
+                chunk = chunk + [chunk[-1]] * (chunk_steps - k)
+                step_valid[k:] = 0.0
+            out = {key: np.stack([b[key] for b in chunk])
+                   for key in chunk[0]}
+            out["step_valid"] = step_valid
+            host = {key: out.pop(key) for key in ("data_id",) if key in out}
+            dev = dict(put(out))
+            dev.update(host)
+            return dev, k
+
+        pending = None
+        chunk: list = []
+        for batch in self.inner.batches(shuffle=shuffle, rng=rng):
+            chunk.append(self._with_features(batch))
+            if len(chunk) == chunk_steps:
+                nxt = emit(chunk)
+                chunk = []
+                if pending is not None:
+                    yield pending
+                pending = nxt
+        if chunk:
+            nxt = emit(chunk)
             if pending is not None:
                 yield pending
             pending = nxt

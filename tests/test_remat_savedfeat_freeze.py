@@ -130,6 +130,37 @@ def test_cache_vision_equivalence(tmp_path, monkeypatch):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_cache_vision_with_chunked_dispatch(tmp_path, monkeypatch):
+    """--cache_vision composes with --steps_per_dispatch: the cached pipe's
+    chunked iterator matches the per-step cached run's metrics exactly."""
+    import pandas as pd
+
+    from fixtures import make_task_fixture, patch_task
+    from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3)
+    base = ["--txt_model_name", "bert", "--img_model_name", "vit",
+            "--fusion_name", "attention", "--task", "3", "--arch", "tiny",
+            "--dtype", "float32", "--attn_impl", "jnp", "--epochs", "2",
+            "--image_size", "32", "--use_clip_loss", "--use_tim_loss",
+            "--cache_vision"]
+    stem = "bert-vit-attention_task3_seed30_itc0.1itm0.1_"
+
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "perstep")
+    run_mm_late.main(base)
+    perstep = pd.read_csv(C.results_dir_mm_late + stem + "metrics_val.csv")
+
+    patch_task(monkeypatch, C, 3, csv_path, img_fmt, tmp_path / "chunked")
+    run_mm_late.main(base + ["--steps_per_dispatch", "2"])
+    chunked = pd.read_csv(C.results_dir_mm_late + stem + "metrics_val.csv")
+
+    for col in ("epoch-1", "epoch-2"):
+        np.testing.assert_allclose(chunked[col].values.astype(float),
+                                   perstep[col].values.astype(float),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_vision_cache_hits_after_first_epoch(tmp_path, monkeypatch):
     """The vision jit runs once per unique batch, then the cache serves."""
     import jax
