@@ -230,14 +230,18 @@ class VisionCachedPipe:
             put = mesh_plan.shard_batch
         else:
             put = jax.device_put
+        multi_host = jax.process_count() > 1
         pending = None
         for batch in self.inner.batches(shuffle=shuffle, rng=rng,
                                         local_rows=local_rows):
             batch = self._with_features(batch)
-            # data_id stays host-side (int64; see data/pipeline.py)
-            host = {k: batch.pop(k) for k in ("data_id",) if k in batch}
-            nxt = dict(put(batch))
-            nxt.update(host)
+            if multi_host:
+                nxt = put(batch)  # pods: global id column assembly
+            else:
+                # data_id stays host-side (int64; see data/pipeline.py)
+                host = {k: batch.pop(k) for k in ("data_id",) if k in batch}
+                nxt = dict(put(batch))
+                nxt.update(host)
             if pending is not None:
                 yield pending
             pending = nxt

@@ -162,11 +162,17 @@ class SplitPipeline:
         else:
             put = jax.device_put
 
+        multi_host = jax.process_count() > 1
+
         def put_keep_ids(batch):
             # data_id stays HOST-SIDE int64: device_put under x64-disabled
             # JAX silently truncates int64 -> int32, which corrupts real
             # tweet ids (~1e18) in prediction CSVs and cache keys. The
-            # compiled steps never read it.
+            # compiled steps never read it. On a pod it must still ride
+            # through process_batch — each host holds only its local rows
+            # and eval needs the assembled global id column.
+            if multi_host:
+                return put(batch)
             host = {k: batch.pop(k) for k in ("data_id",) if k in batch}
             out = dict(put(batch))
             out.update(host)
