@@ -60,7 +60,10 @@ class ImageCache:
         1/count per host instead of N full sweeps. Rows another host owns
         stay invalid and are decoded lazily on first ``gather`` (shuffled
         epochs may route any id to any host), so correctness never depends
-        on the shard assignment."""
+        on the shard assignment. If hosts share one cache directory on a
+        network filesystem, concurrent builds race last-writer-wins on the
+        memmap/meta — rows lost that way are simply re-decoded on miss, so
+        the cache stays correct (prefer per-host local cache dirs)."""
         os.makedirs(self.cache_dir, exist_ok=True)
         ids = [str(x) for x in ids]
         self._decode_opts = {"img_fmt": img_fmt, "empty_image": empty_image,
