@@ -159,6 +159,19 @@ def test_run_mm_early_vilt_mesh_pipe_end_to_end(task3):
     assert found, out
 
 
+def test_run_txt_mesh_pipe_with_chunked_dispatch(task3):
+    """--mesh_pipe composes with --steps_per_dispatch (scan-of-shard_map +
+    PipeMeshPlan.shard_batch_stacked)."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_txt
+
+    run_txt.main(["--model_name", "bert", "--task", "3", "--epochs", "1",
+                  "--arch", "tiny", "--dtype", "float32", "--attn_impl",
+                  "jnp", "--scan_layers", "--mesh_pipe", "2",
+                  "--steps_per_dispatch", "2", "--log_every", "1"])
+    out = str(task3 / "results" / "results_dir_txt") + "/"
+    assert os.path.isfile(out + "bert_task3_seed30_metrics_val.csv")
+
+
 def test_run_img_mesh_pipe_end_to_end(task3):
     """ViT image tower pipelines via the same hook."""
     from socialmedia_textimage_classification_auxlosses_tpu.cli import run_img
