@@ -62,6 +62,17 @@ def test_gradients_match_oracle(inputs, impl):
             atol=5e-5, rtol=5e-4, err_msg=name)
 
 
+def test_forward_bf16_matches_oracle(inputs):
+    """The training dtype path (bf16 operands, f32 accumulation)."""
+    x, mask, ws = inputs
+    xb = x.astype(jnp.bfloat16)
+    wsb = {k: v.astype(jnp.bfloat16) for k, v in ws.items()}
+    out_k = _call("fused_interpret", xb, mask, wsb).astype(jnp.float32)
+    out_r = _call("jnp", xb, mask, wsb).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_no_mask_defaults_to_all_keep(inputs):
     x, _, ws = inputs
     out_k = _call_nomask("fused_interpret", x, ws)
