@@ -64,6 +64,8 @@ def _stub_torchmetrics():
         cls = (lambda f: (lambda *a, **k: _Metric(f, *a, **k)))(fn)
         setattr(cls_mod, name, cls)
         setattr(mod, name, cls)
+    # image_only.py imports BinaryF1Score (never used on the vit path)
+    cls_mod.BinaryF1Score = lambda *a, **k: _Metric(f1_score, average="binary")
     mod.classification = cls_mod
     return mod, cls_mod
 
@@ -120,6 +122,7 @@ def load_reference(config_overrides: dict):
     utils = _exec_module("utils", f"{REF}/models/utils.py")
     datasets = _exec_module("datasets", f"{REF}/models/datasets.py")
     text_only = _exec_module("text_only", f"{REF}/models/text_only.py")
+    image_only = _exec_module("image_only", f"{REF}/models/image_only.py")
     mm_late = _exec_module("mm_late", f"{REF}/models/mm_late.py")
 
     # mm_early imports the HF research-project `lxmert_scripts` package the
@@ -151,5 +154,6 @@ def load_reference(config_overrides: dict):
         ViltImageProcessor.pad_and_create_pixel_mask = pad_and_create_pixel_mask
 
     return {"config": cfg, "text_processing": tp, "utils": utils,
-            "datasets": datasets, "text_only": text_only, "mm_late": mm_late,
+            "datasets": datasets, "text_only": text_only,
+            "image_only": image_only, "mm_late": mm_late,
             "mm_early": mm_early}

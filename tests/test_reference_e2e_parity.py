@@ -187,6 +187,111 @@ def test_text_training_parity_vs_reference(parity_env, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Image-only (run_img / image_only.py ImageModel): ViT fine-tune parity
+
+
+def _run_reference_img(env, vit_ckpt):
+    """Drive the reference's own ImageModel.train deterministically
+    (reference image_only.py:179-230; its DataLoaders ship unshuffled)."""
+    import torch
+    import torch.nn as nn
+
+    from ref_harness import load_reference
+
+    mods = load_reference({
+        "PATH": {3: env["csv"]},
+        "IMG_FMT": {3: env["img_fmt"]},
+        "MODEL_DIR_DICT": {"vit": vit_ckpt},
+        "results_dir_img": env["res"] + "/",
+    })
+    io = mods["image_only"]
+    Config = mods["config"].Config
+
+    class Args:
+        task = 3
+        dropout = 0.0
+        weight_decay = WD
+        lr = LR
+        use_loss_correction = False
+
+    torch.manual_seed(30)
+    cfg = Config(Args(), multimodal=False)
+    im = io.ImageModel(cfg.batch_size, cfg.num_labels, "vit")
+    tr_l, va_l, te_l, weight = im.load_data(cfg.data, cfg.img_fmt,
+                                            testing=False,
+                                            task_name=cfg.task_name)
+    losses = []
+    base_fn = nn.CrossEntropyLoss(weight=weight)
+
+    class Recorder(nn.Module):
+        def forward(self, out, target):
+            l = base_fn(out, target)
+            losses.append(float(l.detach()))
+            return l
+
+    head0_w = im.model.classifier.weight.detach().numpy().copy()
+    head0_b = im.model.classifier.bias.detach().numpy().copy()
+    im.train(tr_l, va_l, EPOCHS, Recorder(), LR, WD,
+             val_filename=env["res"] + "/ref_img_val.csv")
+    return {"losses": losses, "head0_w": head0_w, "head0_b": head0_b,
+            "n_train_batches": len(tr_l)}
+
+
+def test_image_training_parity_vs_reference(tmp_path, monkeypatch):
+    """run_img (ViT fine-tune): per-step train losses match the reference's
+    torch loop under identical init/data (image_only.py:179-230)."""
+    import jax
+    import jax.numpy as jnp
+
+    csv_path, img_fmt, df = make_task_fixture(tmp_path / "data", task=3,
+                                              n=N_ROWS)
+    vit_ckpt = _make_vit_ckpt(tmp_path)
+    res = tmp_path / "res"
+    res.mkdir()
+    env = dict(csv=str(csv_path), img_fmt=img_fmt, res=str(res))
+    ref = _run_reference_img(env, vit_ckpt)
+    n_tr = ref["n_train_batches"]
+
+    from socialmedia_textimage_classification_auxlosses_tpu.core import (
+        config as C,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_img
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_image_setup,
+    )
+
+    patch_task(monkeypatch, C, 3, env["csv"], env["img_fmt"],
+               str(res) + "/ours")
+    monkeypatch.setitem(C.MODEL_DIR_DICT, "vit", vit_ckpt)
+
+    args = run_img.parse_args([
+        "--model_name", "vit", "--task", "3", "--dtype", "float32",
+        "--attn_impl", "jnp", "--dropout", "0.0", "--lr", str(LR),
+        "--weight_decay", str(WD), "--epochs", str(EPOCHS),
+    ])
+    cfg = C.Config(args, multimodal=False)
+    setup = build_image_setup(args, cfg)
+
+    p = jax.tree_util.tree_map(lambda x: x, setup.params)
+    p["params"]["classifier"] = {
+        "kernel": jnp.asarray(ref["head0_w"].T),
+        "bias": jnp.asarray(ref["head0_b"]),
+    }
+    opt_state = setup.tx.init(p)
+
+    our_train = []
+    params = p
+    for batch in setup.pipes["train"].device_iter(shuffle=False):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), len(our_train))
+        params, opt_state, metrics = setup.train_step(params, opt_state,
+                                                      batch, key)
+        our_train.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_train, ref["losses"][:n_tr], rtol=2e-3,
+                               atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # MM late fusion (the paper's flagship path): CE + ITC training parity
 # ---------------------------------------------------------------------------
 
