@@ -59,7 +59,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     # TPU-native PRNG for dropout/ITM draws (threefry mask generation costs
     # ~10% of the flagship step, BASELINE.md ablation); the framework CLI
     # default (--prng_impl rbg) matches.
-    jax.config.update("jax_default_prng_impl", prng_impl)
+    jax.config.update("jax_default_prng_impl",
+                      {"threefry": "threefry2x32"}.get(prng_impl, prng_impl))
 
     import __graft_entry__ as G
     from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (

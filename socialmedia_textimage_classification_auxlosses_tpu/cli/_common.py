@@ -131,7 +131,10 @@ def seed_everything(seed: int, prng_impl: str = None):
     if prng_impl:
         import jax
 
-        jax.config.update("jax_default_prng_impl", prng_impl)
+        # the flag exposes the common short names; JAX's enum spells the
+        # counter-based generator "threefry2x32"
+        impl = {"threefry": "threefry2x32"}.get(prng_impl, prng_impl)
+        jax.config.update("jax_default_prng_impl", impl)
 
 
 def results_dir_for(base: str, testing: bool) -> str:

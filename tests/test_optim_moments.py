@@ -57,6 +57,22 @@ def test_bf16_moments_track_f32_trajectory():
     assert mus, "no bf16 moment leaves found"
 
 
+def test_prng_impl_flag_values(monkeypatch):
+    """Both --prng_impl choices must map onto valid JAX enum values
+    ('threefry' spells 'threefry2x32' there — regression for the crash)."""
+    import jax
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._common import (
+        seed_everything,
+    )
+
+    for choice in ("rbg", "threefry"):
+        seed_everything(0, choice)
+    # restore the framework default for later tests in this process
+    seed_everything(0, "rbg")
+    assert jax.config.jax_default_prng_impl == "rbg"
+
+
 def test_cli_flag_reaches_optimizer(tmp_path, monkeypatch):
     import sys
 
