@@ -128,18 +128,21 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         # optimizer steps per device call — one host->device round trip per
         # K steps instead of per step. Same step body, bit-identical
         # trajectory (tests/test_train_many.py).
-        steps = steps_per_dispatch
+        k = steps_per_dispatch
+        n_chunks = max(1, -(-steps // k))  # honor --steps: ceil(steps/K) dispatches
+        steps = n_chunks * k  # actual steps per rep (whole chunks)
         many = make_train_many(forward_fn, loss_cfg, tx,
                                class_weights=jnp.ones(NUM_LABELS),
                                lazy_emb_cfg=lazy_cfg)
-        stacked = {k: jnp.stack([v] * steps) for k, v in batch.items()}
+        stacked = {kk: jnp.stack([v] * k) for kk, v in batch.items()}
         params, opt_state, metrics = many(params, opt_state, stacked, key, 0)
         jax.block_until_ready(metrics["loss"])
 
         def run_rep(r):
             nonlocal params, opt_state
-            params, opt_state, m = many(params, opt_state, stacked, key,
-                                        (r + 1) * steps)
+            for c in range(n_chunks):
+                params, opt_state, m = many(params, opt_state, stacked, key,
+                                            (r * n_chunks + c + 1) * k)
             return m
     else:
         step = make_train_step(forward_fn, loss_cfg, tx,

@@ -25,6 +25,52 @@
 #include <cctype>
 #include <limits>
 
+// Byte length of a Unicode whitespace character starting at p (0 if none) —
+// the same code-point set CPython's str.split()/str.strip() treat as
+// whitespace, so native and Python tokenizer frontends split identically
+// (U+00A0, U+2000.., U+3000 etc., not just ASCII isspace).
+static size_t ws_len(const char* p, const char* end) {
+  unsigned char c0 = (unsigned char)*p;
+  if (c0 < 0x80) {
+    return (c0 == ' ' || (c0 >= 0x09 && c0 <= 0x0d) ||
+            (c0 >= 0x1c && c0 <= 0x1f)) ? 1 : 0;
+  }
+  if ((c0 & 0xE0) == 0xC0 && p + 1 < end) {
+    uint32_t cp = ((uint32_t)(c0 & 0x1F) << 6) |
+                  ((unsigned char)p[1] & 0x3F);
+    return (cp == 0x85 || cp == 0xA0) ? 2 : 0;
+  }
+  if ((c0 & 0xF0) == 0xE0 && p + 2 < end) {
+    uint32_t cp = ((uint32_t)(c0 & 0x0F) << 12) |
+                  (((uint32_t)((unsigned char)p[1]) & 0x3F) << 6) |
+                  ((unsigned char)p[2] & 0x3F);
+    if (cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 ||
+        cp == 0x2029 || cp == 0x202F || cp == 0x205F || cp == 0x3000)
+      return 3;
+    return 0;
+  }
+  return 0;
+}
+
+// Trim Unicode whitespace from both ends (CPython str.strip() semantics).
+static void strip_ws(std::string& s) {
+  const char* b = s.data();
+  const char* e = s.data() + s.size();
+  while (b < e) {
+    size_t w = ws_len(b, e);
+    if (!w) break;
+    b += w;
+  }
+  // scan forward remembering the last non-whitespace end
+  const char* last_end = b;
+  const char* p = b;
+  while (p < e) {
+    size_t w = ws_len(p, e);
+    if (w) { p += w; } else { ++p; last_end = p; }
+  }
+  s.assign(b, (size_t)(last_end - b));
+}
+
 // Split a UTF-8 string into code-point-sized chunks (invalid bytes pass
 // through as single-byte chunks — matches Python's per-character split of
 // already-decoded text).
@@ -75,9 +121,13 @@ void hash_encode_batch(const char* buf, const int64_t* offsets, int64_t n,
     ids[pos] = cls_id; mask[pos] = 1; ++pos;
     const char* tok = s;
     while (tok < end && pos < max_len - 1) {
-      while (tok < end && std::isspace((unsigned char)*tok)) ++tok;
+      while (tok < end) {
+        size_t w = ws_len(tok, end);
+        if (!w) break;
+        tok += w;
+      }
       const char* tstart = tok;
-      while (tok < end && !std::isspace((unsigned char)*tok)) ++tok;
+      while (tok < end && !ws_len(tok, end)) ++tok;
       if (tok > tstart) {
         uint32_t h = fnv1a(tstart, (size_t)(tok - tstart));
         ids[pos] = 4 + (int32_t)(h % (uint32_t)(vocab_size - 4));
@@ -161,7 +211,8 @@ void wp_encode_batch(void* handle, const char* buf, const int64_t* offsets,
     };
     for (const char* c = s; c < end; ++c) {
       unsigned char ch = (unsigned char)*c;
-      if (std::isspace(ch)) { flush(); }
+      size_t w = ws_len(c, end);
+      if (w) { flush(); c += w - 1; }
       else if (ch < 128 && std::ispunct(ch)) {
         flush();
         word.assign(1, (char)ch);
@@ -288,7 +339,7 @@ void* fastbpe_load(const char* vocab_path, const char* codes_path) {
   if (!vin) { delete fb; return nullptr; }
   std::string line;
   while (std::getline(vin, line)) {
-    if (!line.empty() && line.back() == '\r') line.pop_back();
+    strip_ws(line);  // Python side does line.strip() (Unicode, both ends)
     if (line.empty()) continue;
     size_t idx = line.rfind(' ');
     if (idx == std::string::npos) { delete fb; return nullptr; }
@@ -388,9 +439,13 @@ void fastbpe_encode_batch(void* handle, const char* buf,
     ids[pos] = fb.bos; mask[pos] = 1; ++pos;
     const char* tok = s;
     while (tok < end && pos < max_len - 1) {
-      while (tok < end && std::isspace((unsigned char)*tok)) ++tok;
+      while (tok < end) {
+        size_t w = ws_len(tok, end);
+        if (!w) break;
+        tok += w;
+      }
       const char* tstart = tok;
-      while (tok < end && !std::isspace((unsigned char)*tok)) ++tok;
+      while (tok < end && !ws_len(tok, end)) ++tok;
       if (tok == tstart) break;
       std::string token(tstart, (size_t)(tok - tstart));
       const auto& pieces = fb_word(fb, token);

@@ -72,7 +72,12 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     parser.add_argument("--mesh_pipe", type=int, default=1,
                         help="pipeline-parallel stages for the text tower "
                              "(GPipe over the scanned layer stack; requires "
-                             "--scan_layers; run_txt only)")
+                             "--scan_layers). Note: with dropout > 0, PP "
+                             "derives per-layer dropout keys differently "
+                             "from the sequential nn.scan stack, so PP runs "
+                             "are deterministic per seed but not trajectory-"
+                             "comparable to non-PP runs; forward/grad parity "
+                             "holds exactly in deterministic mode")
     parser.add_argument("--pp_microbatches", type=int, default=0,
                         help="microbatches per pipeline step (default "
                              "min(4, batch))")

@@ -10,11 +10,18 @@ Three modes, mirroring the reference's three preprocessors:
 
 The reference's ``obj`` mode runs an external Faster-R-CNN
 (``lxmert_scripts``, absent from its repo — SURVEY.md section 2.1). Our
-framework accepts (a) reference-format torch dumps, imported into the
-memmapped cache, or (b) **grid features**: a conv trunk's final 7x7 feature
-map as 49 pseudo-regions with their cell coordinates as normalized boxes — a
-standard region-feature substitute that needs no detector. Weights for the
-trunk come from MODEL_DIR_DICT['resnet50'] when present.
+framework provides three object-feature sources (``--obj_source``):
+
+  * ``frcnn`` — the NATIVE detector (models/frcnn.py): raw images ->
+    36 ROI features + normalized boxes, weights imported from the
+    ``unc-nlp/frcnn-vg-finetuned`` layout at MODEL_DIR_DICT['frcnn']
+    (random-init with a loud warning when absent);
+  * ``dumps`` — reference-format torch dumps imported into the memmapped
+    cache (bit-parity with reference-produced features);
+  * ``grid`` — a conv trunk's final 7x7 feature map as 49 pseudo-regions
+    (detector-free substitute; trunk weights from MODEL_DIR_DICT['resnet50']).
+
+``auto`` (default) prefers dumps, then the frcnn detector.
 
     python -m ....cli.obj_features --task 3 --mode obj
 """
@@ -107,6 +114,48 @@ def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
     return cache
 
 
+def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
+                           weight_path: str = None, tiny: bool = False):
+    """Native detector path: raw images -> (N, 36, 2048) ROI features +
+    (N, 36, 4) normalized boxes (reference preprocess_obj,
+    obj_features.py:142-173), resumable at the cache level."""
+    from ..models import frcnn as FR
+    from ..data.images import open_image
+
+    cfg = FR.TINY if tiny else FR.FrcnnConfig()
+    det = None
+    if weight_path is None:
+        weight_path = C.MODEL_DIR_DICT.get("frcnn", "")
+    try:
+        det = FR.load_frcnn(weight_path, cfg)
+    except Exception:
+        det = FR.FrcnnDetector(cfg)
+        logger.warning(
+            "extract_frcnn_features: no detector weights at %r — ROI "
+            "features come from a RANDOM-INIT detector and are effectively "
+            "noise. Provide MODEL_DIR_DICT['frcnn'] "
+            "(unc-nlp/frcnn-vg-finetuned pytorch_model.bin) for real LXMERT "
+            "runs.", weight_path)
+    ids = [str(i) for i in ids]
+    feats = np.zeros((len(ids), cfg.max_detections, cfg.feat_dim), np.float32)
+    boxes = np.zeros((len(ids), cfg.max_detections, 4), np.float32)
+    for k, data_id in enumerate(ids):
+        try:
+            img = open_image(img_fmt, data_id, on_missing="zeros")
+            out = det.detect(img)
+            feats[k] = out["roi_features"]
+            boxes[k] = out["normalized_boxes"]
+        except Exception:
+            logger.info("failed id %s", data_id)
+        if k % 100 == 0:
+            logger.info("frcnn features %d/%d", k, len(ids))
+    cache.num_boxes = cfg.max_detections
+    cache.feat_dim = cfg.feat_dim
+    cache.write(ids, feats, boxes)
+    logger.info("wrote %d detector ROI rows to %s", len(ids), cache.cache_dir)
+    return cache
+
+
 def _safe_pixels(img_fmt, data_id, size):
     try:
         return load_pixels_u8(img_fmt, data_id, size=size, on_missing="zeros")
@@ -131,6 +180,17 @@ def main(argv=None):
     parser.add_argument("--mode", type=str, choices=["mm", "vilt", "obj"],
                         default="mm")
     parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--obj_source", type=str, default="auto",
+                        choices=["auto", "frcnn", "dumps", "grid"],
+                        help="object-feature source for --mode obj: the "
+                             "native FRCNN detector (raw images), imported "
+                             "reference dumps, or grid pseudo-regions")
+    parser.add_argument("--frcnn_ckpt", type=str, default=None,
+                        help="unc-nlp/frcnn-vg-finetuned checkpoint "
+                             "(file or dir; default MODEL_DIR_DICT['frcnn'])")
+    parser.add_argument("--frcnn_arch", type=str, default="full",
+                        choices=["full", "tiny"],
+                        help="tiny = smoke-test detector geometry")
     parser.add_argument("--testing", action="store_true")
     parser.add_argument("--shard", type=str, default=None, metavar="I:N",
                         help="process this 1/N round-robin slice of the ids "
@@ -162,10 +222,19 @@ def main(argv=None):
         else:
             cache_dir = f"{C.DATA_PATH}cache/{task_name}_roi"
         cache = RoiFeatureCache(cache_dir)
-        if cache.import_reference_dumps(C.DATA_PATH, task_name, ids):
+        src = args.obj_source
+        if src in ("auto", "dumps") and cache.import_reference_dumps(
+                C.DATA_PATH, task_name, ids):
             logger.info("imported reference FRCNN dumps")
-        else:
+        elif src == "dumps":
+            parser.error("--obj_source dumps: no reference dumps found under "
+                         f"{C.DATA_PATH}{task_name}_img_feats/")
+        elif src == "grid":
             extract_grid_features(ids, img_fmt, cache)
+        else:  # auto (no dumps) or frcnn: the native detector
+            extract_frcnn_features(ids, img_fmt, cache,
+                                   weight_path=args.frcnn_ckpt,
+                                   tiny=args.frcnn_arch == "tiny")
     else:
         size = args.image_size or (384 if args.mode == "vilt" else 224)
         tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"

@@ -60,11 +60,16 @@ class ImageCache:
         1/count per host instead of N full sweeps. Rows another host owns
         stay invalid and are decoded lazily on first ``gather`` (shuffled
         epochs may route any id to any host), so correctness never depends
-        on the shard assignment. If hosts share one cache directory on a
-        network filesystem, concurrent builds race last-writer-wins on the
-        memmap/meta — rows lost that way are simply re-decoded on miss, so
-        the cache stays correct (prefer per-host local cache dirs)."""
+        on the shard assignment. Each host MUST use its own cache directory:
+        a shared directory would race last-writer-wins on the memmap/meta,
+        and this process's in-memory validity bitmap could then mark rows
+        True whose file bytes another host's rebuild zeroed — so shared-dir
+        sharded builds are refused outright (builder-marker detection below)
+        rather than documented as "repaired on miss"."""
         os.makedirs(self.cache_dir, exist_ok=True)
+        shard_idx_pre, shard_cnt_pre = process_shard if process_shard else (0, 1)
+        if shard_cnt_pre > 1:
+            self._claim_shard_dir(shard_idx_pre)
         ids = [str(x) for x in ids]
         self._decode_opts = {"img_fmt": img_fmt, "empty_image": empty_image,
                              "center_crop_from": center_crop_from,
@@ -107,7 +112,30 @@ class ImageCache:
         self.index = {data_id: row for row, data_id in enumerate(all_ids)}
         self.valid = valid
         self._write_meta()
+        if shard_cnt > 1:
+            # a concurrent builder that appeared mid-build may have clobbered
+            # our flush — detect and refuse rather than serve blank rows
+            self._claim_shard_dir(shard_idx)
         return self
+
+    def _claim_shard_dir(self, shard_idx: int):
+        """Mark this directory as owned by process-shard ``shard_idx``; refuse
+        if another shard has (ever) built here. A shared directory across
+        shards races last-writer-wins on the memmap, which can leave rows
+        the local validity bitmap trusts as decoded but whose file bytes are
+        zeros — sharded builds therefore require per-host cache dirs."""
+        mine = os.path.join(self.cache_dir, f".builder_shard{shard_idx}")
+        others = [f for f in os.listdir(self.cache_dir)
+                  if f.startswith(".builder_shard") and
+                  f != os.path.basename(mine)]
+        if others:
+            raise RuntimeError(
+                f"cache dir {self.cache_dir} was built by process shard(s) "
+                f"{sorted(others)}; sharded cache builds require a distinct "
+                "per-host cache directory (a shared dir races last-writer-"
+                "wins on the pixel memmap and can serve blank images)")
+        with open(mine, "w") as f:
+            f.write(str(os.getpid()))
 
     def _write_meta(self):
         with open(self.meta_path, "w") as f:

@@ -12,6 +12,15 @@ This is an independent implementation: one table of named sub-patterns is
 compiled into a single alternation, and emoji demojization is built in
 (Unicode names; no third-party ``emoji`` package) so the data layer works in
 a hermetic environment.
+
+Attribution: the token-grammar regex fragments below (URL, emoticon, phone
+number, etc.) reproduce the NLTK ``nltk.tokenize.casual`` TweetTokenizer
+grammar (Copyright (C) 2001-2023 NLTK Project; authors Christopher Potts,
+Ewan Klein, Pierpaolo Pantone; Apache License 2.0), which the reference
+vendors verbatim at ``preprocessing/text_processing.py:264-417``. Those
+regex strings ARE the tokenization spec the byte-parity tests
+(tests/test_normalize.py) hold this module to; the machinery around them is
+original.
 """
 
 from __future__ import annotations

@@ -45,7 +45,11 @@ def _stage_apply(layer_fn: Callable, local_params, x, key_mask, rng,
 
     With ``rng`` (training dropout), each layer gets a key folded with its
     GLOBAL layer index (stage offset + local position) so dropout draws are
-    deterministic and distinct per layer across stages."""
+    deterministic and distinct per layer across stages. This derivation is
+    NOT the one flax ``nn.scan(split_rngs={'dropout': True})`` uses, so a
+    dropout>0 PP run is not trajectory-comparable to the sequential stack
+    (documented at the ``--mesh_pipe`` CLI flag); deterministic-mode parity
+    is exact and test-enforced."""
     n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
     if rng is None:
         def body(h, p_one):

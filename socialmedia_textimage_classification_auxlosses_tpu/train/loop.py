@@ -130,16 +130,27 @@ class Trainer:
     def _preempt_save(self, epoch):
         if self.checkpointer is None:
             return
-        try:
+        # A periodic save may already cover this exact step — only that case
+        # is a benign skip. Any other failure (disk full, Orbax error) must
+        # surface loudly: exiting cleanly on a lost final checkpoint would
+        # silently discard training progress.
+        already = self.checkpointer.manager.latest_step() == self.global_step
+        if already:
+            logger.info("preemption save skipped (step %d already saved)",
+                        self.global_step)
+        else:
             self.checkpointer.save(
                 self.global_step,
                 {"params": self.params, "opt_state": self.opt_state,
                  "step": self.global_step, "epoch": epoch})
-        except Exception:
-            # a periodic save already covered this exact step
-            logger.info("preemption save skipped (step %d already saved)",
-                        self.global_step)
         self.checkpointer.wait()
+        if self.checkpointer.manager.latest_step() != self.global_step:
+            logger.error("preemption checkpoint at step %d FAILED to commit "
+                         "(latest on disk: %s)", self.global_step,
+                         self.checkpointer.manager.latest_step())
+            raise RuntimeError(
+                f"preemption checkpoint at step {self.global_step} did not "
+                "commit")
         logger.warning("preemption checkpoint saved at step %d "
                        "(resume with --resume)", self.global_step)
 

@@ -59,3 +59,18 @@ def test_unsharded_build_unchanged(tmp_path):
     cache = ImageCache(str(tmp_path / "c"), size=16).build(ids, img_fmt)
     assert cache.valid.all()
     assert cache.gather(ids).shape == (8, 16, 16, 3)
+
+
+def test_shared_dir_sharded_build_refused(tmp_path):
+    """Two different process shards building in ONE directory must be refused
+    (ADVICE r2: last-writer-wins races can serve silently blank images)."""
+    import pytest
+
+    ids, img_fmt = _make_imgs(tmp_path)
+    shared = str(tmp_path / "shared")
+    ImageCache(shared, size=16).build(ids, img_fmt, process_shard=(0, 2))
+    with pytest.raises(RuntimeError, match="per-host cache directory"):
+        ImageCache(shared, size=16).build(ids, img_fmt, process_shard=(1, 2))
+    # same shard rebuilding in its own dir stays allowed (resumable)
+    c = ImageCache(shared, size=16).build(ids, img_fmt, process_shard=(0, 2))
+    assert c.valid.sum() == 4

@@ -27,6 +27,10 @@ TEXTS = [
     "emoji \U0001f600 test",  # 4-byte UTF-8
     "  spaced   out  ",
     "hello " * 40,            # truncation past max_length
+    "hello world",       # NBSP: str.split() separator, not ASCII isspace
+    "hello world　x",  # em space / ideographic space
+    " hello world ",  # line/para separators + narrow NBSP
+    "hello\tworld\x0bx",      # ASCII control whitespace
 ]
 
 
