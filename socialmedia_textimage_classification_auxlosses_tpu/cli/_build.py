@@ -331,7 +331,7 @@ def enable_vision_cache(setup: Setup):
 
 
 def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Setup:
-    from ._common import arch_overrides
+    from ._common import arch_overrides, seq_buckets_from
 
     model_name = args.model_name
     model_dir = C.MODEL_DIR_DICT.get(model_name)
@@ -394,7 +394,8 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         if freeze else None
 
     pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
-                              with_images=False)
+                              with_images=False,
+                              seq_buckets=seq_buckets_from(args))
     pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg)
     return _finish(
         dict(model=model, params=params, forward_fn=forward_fn,
@@ -411,7 +412,7 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
 
 
 def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
-    from ._common import arch_overrides
+    from ._common import arch_overrides, seq_buckets_from
 
     model_name = args.model_name
     model_dir = C.MODEL_DIR_DICT.get(model_name)
@@ -530,7 +531,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
 
 
 def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
-    from ._common import arch_overrides
+    from ._common import arch_overrides, seq_buckets_from
 
     txt_name, img_name = args.txt_model_name, args.img_model_name
     txt_dir = C.MODEL_DIR_DICT.get(txt_name)
@@ -677,7 +678,8 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         )
 
     pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
-                              image_size=image_size)
+                              image_size=image_size,
+                              seq_buckets=seq_buckets_from(args))
     pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     return _finish(
         dict(model=model, params=params, forward_fn=forward_fn,

@@ -21,7 +21,7 @@ from ..models.encoder import EncoderConfig
 from ..models.vision import IMAGE_NORM
 from ..utils.logging import get_logger
 from ._build import Setup, _loss_cfg_from, _finish, _make_pipes, make_mesh, _maybe_pp
-from ._common import arch_overrides
+from ._common import arch_overrides, seq_buckets_from
 
 logger = get_logger(__name__)
 
@@ -120,7 +120,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
 
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
                                   max_length=cfg.max_length,
-                                  image_size=geo["image_size"])
+                                  image_size=geo["image_size"],
+                                  seq_buckets=seq_buckets_from(args))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     else:  # lxmert
         if int(getattr(args, "mesh_pipe", 1) or 1) > 1:
@@ -164,7 +165,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             )
 
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
-                                  max_length=cfg.max_length, with_images=False)
+                                  max_length=cfg.max_length, with_images=False,
+                                  seq_buckets=seq_buckets_from(args))
         pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg,
                             roi_cache=roi_cache)
 

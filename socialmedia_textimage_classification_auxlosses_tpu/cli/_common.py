@@ -81,6 +81,15 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     parser.add_argument("--pp_microbatches", type=int, default=0,
                         help="microbatches per pipeline step (default "
                              "min(4, batch))")
+    parser.add_argument("--bucket_seq", type=str, nargs="?", const="32,64,96",
+                        default=None, metavar="L1,L2,..",
+                        help="sequence-length bucketing: slice each batch's "
+                             "text arrays to the smallest listed bucket "
+                             "covering its longest real sequence (default "
+                             "buckets 32,64,96; full max_length stays the "
+                             "fallback). EXACT under masked attention — "
+                             "same logits, same trajectory, less padded "
+                             "compute (tests/test_bucketing.py)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
     parser.add_argument("--mesh_model", type=int, default=1,
@@ -146,6 +155,20 @@ def results_dir_for(base: str, testing: bool) -> str:
     out = base + ("testing/" if testing else "")
     os.makedirs(out, exist_ok=True)
     return out
+
+
+def seq_buckets_from(args):
+    """``--bucket_seq`` string -> sorted tuple of bucket lengths (or None)."""
+    raw = getattr(args, "bucket_seq", None)
+    if not raw:
+        return None
+    try:
+        buckets = tuple(sorted({int(x) for x in str(raw).split(",") if x}))
+    except ValueError:
+        raise SystemExit(f"--bucket_seq {raw!r}: expected comma-separated ints")
+    if not buckets or min(buckets) < 2:
+        raise SystemExit(f"--bucket_seq {raw!r}: buckets must be >= 2")
+    return buckets
 
 
 def arch_overrides(args) -> dict:

@@ -22,7 +22,7 @@ from ..train.metrics import compute_metrics
 from ..utils.logging import get_logger
 from ._build import build_mm_late_setup
 from ._common import (add_common_args, results_dir_for, save_metrics_csv,
-                      save_predictions_csv, seed_everything)
+                      save_predictions_csv, seed_everything, seq_buckets_from)
 
 logger = get_logger(__name__)
 
@@ -187,7 +187,8 @@ def _txt_test_pipe(args, cfg, setup):
     return SplitPipeline(
         txt_test,
         PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
-                       image_size=setup.pipes["test"].cfg.image_size),
+                       image_size=setup.pipes["test"].cfg.image_size,
+                       seq_buckets=seq_buckets_from(args)),
         tokenizer=setup.tokenizer, image_source=src,
     )
 

@@ -18,7 +18,7 @@ from ..train.metrics import compute_metrics
 from ..utils.logging import get_logger
 from ._build import build_text_setup
 from ._common import (add_common_args, results_dir_for, save_metrics_csv,
-                      save_predictions_csv, seed_everything)
+                      save_predictions_csv, seed_everything, seq_buckets_from)
 
 logger = get_logger(__name__)
 
@@ -87,7 +87,8 @@ def main(argv=None):
         pipe = SplitPipeline(
             txt_test,
             PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
-                           with_images=False),
+                           with_images=False,
+                           seq_buckets=seq_buckets_from(args)),
             tokenizer=setup.tokenizer,
         )
         predictions = trainer.evaluate(pipe)

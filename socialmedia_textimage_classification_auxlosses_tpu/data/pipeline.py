@@ -65,6 +65,16 @@ class PipelineConfig:
     with_images: bool = True
     with_text: bool = True
     center_crop_from: Optional[int] = None
+    # Sequence-length bucketing (``--bucket_seq``): slice each batch's text
+    # arrays to the smallest bucket >= the batch's longest real sequence.
+    # Tweets are mostly far below the reference's pad-to-128
+    # (reference config.py:57-60); with masked attention this is an EXACT
+    # transform — dropped columns are fully padded, contribute exact zeros
+    # through the -1e30 mask, and prefix position embeddings are unchanged
+    # (per-example logit equality enforced in tests/test_bucketing.py).
+    # Batch composition and shuffle order are untouched, so trajectories
+    # stay comparable to the unbucketed run up to the exactness above.
+    seq_buckets: Optional[tuple] = None
 
 
 class SplitPipeline:
@@ -101,12 +111,39 @@ class SplitPipeline:
     def num_batches(self):
         return max(1, -(-self.n // self.cfg.batch_size)) if self.n else 0
 
+    def _bucket_len(self, mask_rows) -> Optional[int]:
+        """Smallest configured bucket covering the longest real sequence
+        (None = no slicing)."""
+        buckets = self.cfg.seq_buckets
+        if not buckets:
+            return None
+        lmax = int(mask_rows.sum(axis=-1).max())
+        for b in sorted(buckets):
+            if b >= lmax:
+                return min(b, mask_rows.shape[-1])
+        return None
+
+    @staticmethod
+    def bucket_slice(batch: Dict[str, np.ndarray], length: Optional[int]):
+        """Slice the text arrays of a batch (or stacked chunk) to ``length``
+        columns. Exact under masked attention: every dropped column is
+        padding in every row."""
+        if length is None:
+            return batch
+        out = dict(batch)
+        for key in ("ids", "mask", "token_type_ids"):
+            if key in out:
+                out[key] = out[key][..., :length]
+        return out
+
     def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None,
-                local_rows=None) -> Iterator[Dict[str, np.ndarray]]:
+                local_rows=None, bucket=True) -> Iterator[Dict[str, np.ndarray]]:
         """``local_rows=(start, stop)`` materialises only that row range of
         each global batch — the per-host slice on a multi-host pod
         (``MeshPlan.process_rows``). All hosts must pass identically-seeded
-        ``rng`` so the global order agrees."""
+        ``rng`` so the global order agrees (the bucket length is likewise
+        derived from the GLOBAL batch so every host compiles the same
+        shape)."""
         if self.n == 0:
             return
         order = np.arange(self.n)
@@ -120,6 +157,8 @@ class SplitPipeline:
             if pad:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
                 valid[len(idx) - pad:] = 0.0
+            blen = (self._bucket_len(self.mask[idx])
+                    if bucket and self.mask is not None else None)
             if local_rows is not None:
                 lo, hi = local_rows
                 idx = idx[lo:hi]
@@ -130,10 +169,11 @@ class SplitPipeline:
                 "data_id": self.ids_num[idx],
             }
             if self.ids is not None:
-                batch["ids"] = self.ids[idx]
-                batch["mask"] = self.mask[idx]
+                batch["ids"] = self.ids[idx][:, :blen] if blen else self.ids[idx]
+                batch["mask"] = self.mask[idx][:, :blen] if blen else self.mask[idx]
                 if self.token_type_ids is not None:
-                    batch["token_type_ids"] = self.token_type_ids[idx]
+                    tt = self.token_type_ids[idx]
+                    batch["token_type_ids"] = tt[:, :blen] if blen else tt
             if self.image_source is not None and self.cfg.with_images:
                 batch["pixel_values"] = self.image_source.gather(
                     [self.data_ids[i] for i in idx]
@@ -217,6 +257,10 @@ class SplitPipeline:
             out = {key: np.stack([b[key] for b in chunk])
                    for key in chunk[0]}
             out["step_valid"] = step_valid
+            if "mask" in out:
+                # bucket by CHUNK max so every batch in the stacked scan
+                # shares one static width (batches() left them unsliced)
+                out = self.bucket_slice(out, self._bucket_len(out["mask"]))
             return out, k
 
         def put_keep_ids(batches):
@@ -228,7 +272,7 @@ class SplitPipeline:
 
         pending = None
         chunk: list = []
-        for batch in self.batches(shuffle=shuffle, rng=rng):
+        for batch in self.batches(shuffle=shuffle, rng=rng, bucket=False):
             chunk.append(batch)
             if len(chunk) == chunk_steps:
                 nxt = stack(chunk)
