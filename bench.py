@@ -47,11 +47,44 @@ NUM_LABELS = 4
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
+# bf16 peak matmul throughput per chip, for the MFU line (VERDICT.md round-2
+# item 7). Keyed on jax device_kind prefixes; unknown kinds report flops
+# without a %-of-peak.
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops_of(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in PEAK_BF16_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return 0.0
+
+
+def step_cost_analysis(compiled) -> float:
+    """XLA's flop count for one compiled step (matmul-dominated, so this is
+    the model-flops numerator of MFU)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
                  steps_per_dispatch: int = 1, prng_impl: str = "rbg",
-                 batch: int = BATCH, opt_moments: str = "f32"):
+                 batch: int = BATCH, opt_moments: str = "f32",
+                 opt_kernel: str = "fused", tim_reuse: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -92,14 +125,21 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     def forward_fn(p, b, tim_inputs, dropout_rng, deterministic,
                    word_embeds=None, tim_word_embeds=None):
         rngs = None if deterministic else {"dropout": dropout_rng}
+        tim_kw = {}
+        if tim_inputs is not None:
+            if tim_reuse:
+                tim_kw = {"tim_src": tim_inputs["src"]}
+            else:
+                tim_kw = {"tim_ids": tim_inputs["ids"],
+                          "tim_mask": tim_inputs["mask"],
+                          "tim_word_embeds": tim_word_embeds}
         return model.apply(
             p, b["ids"], b["mask"], b.get("pixel_values"),
-            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
-            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
             deterministic=deterministic, rngs=rngs,
-            word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
+            word_embeds=word_embeds,
             vision_hidden=b.get("vision_hidden"),
             vision_pooled=b.get("vision_pooled"),
+            **tim_kw,
         )
 
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
@@ -117,7 +157,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         frozen = any_of(frozen, lazy_emb_predicate(lazy_cfg))
     tx = make_optimizer(1e-5, 2.5e-4, frozen,
                         mu_dtype=("bfloat16" if opt_moments == "bf16"
-                                  else None))
+                                  else None),
+                        fused=opt_kernel == "fused")
     opt_state = tx.init(params)
     if lazy_cfg is not None:
         opt_state = {"tx": opt_state,
@@ -173,7 +214,144 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         dt = time.perf_counter() - t0
         print(f"# rep {r}: {steps / dt * bsz:.1f} posts/s", file=sys.stderr)
         best = max(best, steps / dt)
-    return best, float(np.ravel(np.asarray(metrics["loss"]))[-1])
+
+    # model flops for the MFU line: XLA's count for one compiled dispatch
+    # (HloCostAnalysis counts a while/scan body once, so the K-step scan's
+    # count approximates ONE step + stacking overhead)
+    flops = 0.0
+    try:
+        if steps_per_dispatch > 1:
+            flops = step_cost_analysis(
+                many.lower(params, opt_state, stacked, key, 0).compile())
+        else:
+            flops = step_cost_analysis(
+                step.lower(params, opt_state, batch, key).compile())
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return best, float(np.ravel(np.asarray(metrics["loss"]))[-1]), flops
+
+
+def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
+                   dtype: str = "bfloat16", attn_impl: str = "auto",
+                   steps_per_dispatch: int = 10, prng_impl: str = "rbg"):
+    """Early-fusion throughput: ViLT (40 text + 144 patch joint encoder) and
+    LXMERT (cross-modal attention over 36 ROI features) at checkpoint
+    geometry with the full CE+ITC+ITM objective (VERDICT.md round-2 item 4).
+    Prints its own JSON line via --model."""
+    import jax
+    import jax.numpy as jnp
+
+    enable_compile_cache()
+    jax.config.update("jax_default_prng_impl",
+                      {"threefry": "threefry2x32"}.get(prng_impl, prng_impl))
+
+    from socialmedia_textimage_classification_auxlosses_tpu.models.encoder import (
+        EncoderConfig,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models.lxmert import (
+        LxmertClassifier, LxmertConfig, init_lxmert_params,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models.vilt import (
+        ViltClassifier, init_vilt_params,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
+        make_optimizer,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+        LossConfig, make_train_many,
+    )
+
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(np.eye(NUM_LABELS, dtype=np.float32)[
+        rng.randint(0, NUM_LABELS, batch)])
+    valid = jnp.ones((batch,), jnp.float32)
+
+    if model_name == "vilt":
+        # dandelin/vilt-b32 geometry: 40 text tokens + 12x12 patches @ 384
+        cfg = EncoderConfig(vocab_size=30522, hidden=768, layers=12, heads=12,
+                            mlp_dim=3072, max_positions=40, type_vocab=2,
+                            ln_style="pre", dropout=0.1, dtype=dtype,
+                            attn_impl=attn_impl)
+        model = ViltClassifier(cfg, NUM_LABELS, patch=32, image_size=384,
+                               dropout=0.05)
+        seq = 40
+        ids = jnp.asarray(rng.randint(4, 30522, (batch, seq)), jnp.int32)
+        mask = jnp.ones((batch, seq), jnp.int32)
+        tt = jnp.zeros((batch, seq), jnp.int32)
+        px = jnp.asarray(rng.rand(batch, 384, 384, 3), jnp.float32)
+        params = init_vilt_params(model, jax.random.PRNGKey(0), ids[:2],
+                                  mask[:2], tt[:2], px[:2])
+        batch_d = {"ids": ids, "mask": mask, "token_type_ids": tt,
+                   "pixel_values": px, "labels": labels, "valid": valid}
+
+        def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            return model.apply(
+                p, b["ids"], b["mask"], b["token_type_ids"],
+                b["pixel_values"],
+                tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+                tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+                tim_token_type_ids=(None if tim_inputs is None
+                                    else tim_inputs["token_type_ids"]),
+                deterministic=deterministic, rngs=rngs)
+    elif model_name == "lxmert":
+        # unc-nlp/lxmert-base geometry: 9/5/5 stacks over 36 ROI features
+        cfg = LxmertConfig(dtype=dtype, attn_impl=attn_impl)
+        model = LxmertClassifier(cfg, NUM_LABELS, dropout=0.05)
+        seq = SEQ
+        ids = jnp.asarray(rng.randint(4, cfg.vocab_size, (batch, seq)), jnp.int32)
+        mask = jnp.ones((batch, seq), jnp.int32)
+        tt = jnp.zeros((batch, seq), jnp.int32)
+        feats = jnp.asarray(rng.rand(batch, 36, 2048), jnp.float32)
+        boxes = jnp.asarray(rng.rand(batch, 36, 4), jnp.float32)
+        params = init_lxmert_params(model, jax.random.PRNGKey(0), ids[:2],
+                                    mask[:2], tt[:2], feats[:2], boxes[:2])
+        batch_d = {"ids": ids, "mask": mask, "token_type_ids": tt,
+                   "visual_feats": feats, "visual_pos": boxes,
+                   "labels": labels, "valid": valid}
+
+        def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            return model.apply(
+                p, b["ids"], b["mask"], b["token_type_ids"],
+                b["visual_feats"], b["visual_pos"],
+                tim_ids=None if tim_inputs is None else tim_inputs["ids"],
+                tim_mask=None if tim_inputs is None else tim_inputs["mask"],
+                tim_token_type_ids=(None if tim_inputs is None
+                                    else tim_inputs["token_type_ids"]),
+                deterministic=deterministic, rngs=rngs)
+    else:
+        raise ValueError(model_name)
+
+    loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
+                          use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
+    tx = make_optimizer(1e-5, 2.5e-4)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(0)
+    k = max(1, steps_per_dispatch)
+    many = make_train_many(forward_fn, loss_cfg, tx,
+                           class_weights=jnp.ones(NUM_LABELS))
+    stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+    params, opt_state, metrics = many(params, opt_state, stacked, key, 0)
+    jax.block_until_ready(metrics["loss"])
+    reps = max(3, 60 // k)
+    best = 0.0
+    for r in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, metrics = many(params, opt_state, stacked, key,
+                                          (r + 1) * k)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        print(f"# {model_name} rep {r}: {k / dt * batch:.1f} posts/s",
+              file=sys.stderr)
+        best = max(best, k / dt)
+    flops = 0.0
+    try:
+        flops = step_cost_analysis(
+            many.lower(params, opt_state, stacked, key, 0).compile())
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return best, float(np.ravel(np.asarray(metrics["loss"]))[-1]), flops
 
 
 def measure_torch_baseline(steps: int = 10):
@@ -295,7 +473,44 @@ def main():
     parser.add_argument("--opt_moments", default=os.environ.get(
                             "SMTC_BENCH_MOMENTS", "f32"),
                         choices=["f32", "bf16"])
+    parser.add_argument("--model", default="mm_late",
+                        choices=["mm_late", "vilt", "lxmert"],
+                        help="mm_late = the graded flagship metric; "
+                             "vilt/lxmert bench the early-fusion families "
+                             "(BASELINE.md tables)")
+    parser.add_argument("--opt_kernel", default=os.environ.get(
+                            "SMTC_BENCH_OPT_KERNEL", "fused"),
+                        choices=["fused", "optax"],
+                        help="fused = one-tree_map AdamW (identical math, "
+                             "equivalence-tested; the CLI default)")
+    parser.add_argument("--tim_reuse_text", action="store_true",
+                        default=os.environ.get("SMTC_BENCH_TIM_REUSE") == "1",
+                        help="ablation: TIM text-tower activation reuse "
+                             "(NOT the graded default — shares tower "
+                             "dropout masks between the primary and TIM "
+                             "passes, a documented deviation)")
     args = parser.parse_args()
+
+    if args.model != "mm_late":
+        import jax
+
+        steps_per_sec, loss, flops = measure_family(
+            args.model, steps=args.steps, batch=args.batch,
+            attn_impl=args.attn_impl,
+            steps_per_dispatch=args.steps_per_dispatch,
+            prng_impl=args.prng_impl)
+        posts = steps_per_sec * args.batch
+        peak = peak_flops_of(jax.devices()[0])
+        print(json.dumps({
+            "metric": f"posts/sec/chip ({args.model} fine-tune, ITC+ITM, "
+                      f"batch {args.batch})",
+            "value": round(posts, 2),
+            "unit": "posts/sec",
+            "model_flops_per_step": flops,
+            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
+                    else None),
+        }))
+        return
 
     baseline = None
     if os.path.isfile(BASELINE_FILE) and not args.measure_baseline:
@@ -313,27 +528,39 @@ def main():
             json.dump(baseline, f, indent=1)
 
     try:
-        steps_per_sec, loss = measure_ours(
+        steps_per_sec, loss, flops = measure_ours(
             args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
-            opt_moments=args.opt_moments)
+            opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
+            tim_reuse=args.tim_reuse_text)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
-        steps_per_sec, loss = measure_ours(
+        steps_per_sec, loss, flops = measure_ours(
             args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
-            opt_moments=args.opt_moments)
+            opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
+            tim_reuse=args.tim_reuse_text)
+
+    import jax
 
     posts_per_sec = steps_per_sec * args.batch
+    peak = peak_flops_of(jax.devices()[0])
+    # 2 text passes (primary + TIM) over seq-128 tokens per post feed the
+    # tokens/s line; MFU = XLA-counted step flops x steps/s over bf16 peak
+    tokens_per_sec = posts_per_sec * 2 * SEQ
     print(json.dumps({
         "metric": f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, batch {args.batch})",
         "value": round(posts_per_sec, 2),
         "unit": "posts/sec",
         "vs_baseline": round(posts_per_sec / baseline["posts_per_sec"], 2),
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "model_flops_per_step": flops,
+        "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
+                else None),
     }))
 
 

@@ -83,6 +83,11 @@ def _maybe_pp(args, cfg, overrides, stack_pred=None):
 
     if not overrides.get("scan_layers"):
         raise SystemExit("--mesh_pipe requires --scan_layers")
+    if jax.process_count() > 1:
+        # fail at the CLI surface, not mid-epoch (PipeMeshPlan's multi-host
+        # trainer hooks are out of scope this round)
+        raise SystemExit("--mesh_pipe is single-process for now; on pods use "
+                         "data/tensor parallelism (--mesh_data/--mesh_model)")
     n_dev = len(jax.devices())
     pp_mesh = make_pp_mesh(pipe=mesh_pipe, data=max(1, n_dev // mesh_pipe))
     # microbatches split each data shard's LOCAL rows
@@ -133,7 +138,8 @@ def _finish(setup_kwargs, args, cfg, frozen_pred=None):
     mu_dtype = ("bfloat16" if getattr(args, "opt_moments", "f32") == "bf16"
                 else None)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, frozen_pred,
-                        mu_dtype=mu_dtype)
+                        mu_dtype=mu_dtype,
+                        fused=getattr(args, "opt_kernel", "fused") == "fused")
     mesh_plan = setup_kwargs["mesh_plan"]
     if mesh_plan is not None:
         params = mesh_plan.shard_params(params)
@@ -252,14 +258,22 @@ class VisionCachedPipe:
                            mesh_plan=None):
         """Chunked (K, B, ...) dispatch with cached vision activations —
         mirrors SplitPipeline.device_iter_chunks (padded tail carries
-        step_valid=0)."""
+        step_valid=0; pods stack local rows and assemble the global chunk
+        via process_batch_stacked)."""
         import jax
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "chunked dispatch is single-process; use device_iter on pods")
-        put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
-               else jax.device_put)
+        multi_host = jax.process_count() > 1
+        local_rows = None
+        if multi_host:
+            if mesh_plan is None:
+                raise ValueError("multi-process chunked dispatch needs a "
+                                 "mesh plan (process_batch_stacked)")
+            local_rows = mesh_plan.process_rows(self.cfg.batch_size)
+            put = lambda b: mesh_plan.process_batch_stacked(
+                b, self.cfg.batch_size)
+        else:
+            put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
+                   else jax.device_put)
 
         def emit(chunk):
             k = len(chunk)
@@ -267,9 +281,16 @@ class VisionCachedPipe:
             if k < chunk_steps:
                 chunk = chunk + [chunk[-1]] * (chunk_steps - k)
                 step_valid[k:] = 0.0
+            lmaxes = [b.pop("_max_len") for b in chunk if "_max_len" in b]
             out = {key: np.stack([b[key] for b in chunk])
                    for key in chunk[0]}
             out["step_valid"] = step_valid
+            if lmaxes:  # chunk-level sequence bucketing (global maxima)
+                out = self.inner.bucket_slice(
+                    out, self.inner._bucket_for(max(lmaxes),
+                                                out["mask"].shape[-1]))
+            if multi_host:
+                return dict(put(out)), k
             host = {key: out.pop(key) for key in ("data_id",) if key in out}
             dev = dict(put(out))
             dev.update(host)
@@ -277,7 +298,8 @@ class VisionCachedPipe:
 
         pending = None
         chunk: list = []
-        for batch in self.inner.batches(shuffle=shuffle, rng=rng):
+        for batch in self.inner.batches(shuffle=shuffle, rng=rng, bucket=False,
+                                        local_rows=local_rows):
             chunk.append(self._with_features(batch))
             if len(chunk) == chunk_steps:
                 nxt = emit(chunk)
@@ -657,16 +679,26 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
                                    word_embeds=word_embeds)
             out["batch_stats"] = upd["batch_stats"]
             return out
+        tim_kw = {}
+        if tim_inputs is not None:
+            # deterministic (eval) mode: activation reuse is EXACTLY the
+            # re-encoding path (tests/test_tim_reuse.py), so it is always on
+            # there; during training it is the opt-in --tim_reuse_text
+            if deterministic or getattr(args, "tim_reuse_text", False):
+                tim_kw = {"tim_src": tim_inputs["src"]}
+            else:
+                tim_kw = {"tim_ids": tim_inputs["ids"],
+                          "tim_mask": tim_inputs["mask"],
+                          "tim_token_type_ids": tim_inputs["token_type_ids"],
+                          "tim_word_embeds": tim_word_embeds}
         return model.apply(
             p, batch["ids"], batch["mask"], pixels, batch.get("token_type_ids"),
-            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
-            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
-            tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
             iadds_task=cfg.use_iadds_loss,
             deterministic=deterministic, rngs=rngs,
-            word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
+            word_embeds=word_embeds,
             vision_hidden=batch.get("vision_hidden"),
             vision_pooled=batch.get("vision_pooled"),
+            **tim_kw,
         )
 
     def image_source_fn(split):

@@ -62,6 +62,25 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                              "the m-state HBM traffic (the optimizer is "
                              "weight-HBM-bound at batch 8, BASELINE.md); "
                              "loss-trajectory equivalence tested")
+    parser.add_argument("--opt_kernel", type=str, default="fused",
+                        choices=["fused", "optax"],
+                        help="AdamW emission: 'fused' = one-tree_map AdamW "
+                             "(identical math to optax.adamw, equivalence-"
+                             "tested; one elementwise kernel per leaf — the "
+                             "optax chain measured ~2.5 ms/step slower at "
+                             "the flagship, BASELINE.md). 'optax' = the "
+                             "stock optax.adamw chain")
+    parser.add_argument("--tim_reuse_text", action="store_true",
+                        help="reuse the primary pass's text-tower "
+                             "activations for the TIM rows (a row gather — "
+                             "the swap is an in-batch permutation) instead "
+                             "of re-encoding. EXACT in eval; during "
+                             "training the reused rows share the primary "
+                             "pass's dropout masks where the reference "
+                             "draws fresh ones (mm_late.py:168-182) — "
+                             "deviation documented in BASELINE.md; saves "
+                             "the second text pass, the dominant step cost "
+                             "at batch 8")
     parser.add_argument("--prng_impl", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="PRNG for dropout/ITM draws: 'rbg' is the "

@@ -111,17 +111,18 @@ class SplitPipeline:
     def num_batches(self):
         return max(1, -(-self.n // self.cfg.batch_size)) if self.n else 0
 
-    def _bucket_len(self, mask_rows) -> Optional[int]:
-        """Smallest configured bucket covering the longest real sequence
-        (None = no slicing)."""
-        buckets = self.cfg.seq_buckets
-        if not buckets:
-            return None
-        lmax = int(mask_rows.sum(axis=-1).max())
-        for b in sorted(buckets):
+    def _bucket_for(self, lmax: int, width: int) -> Optional[int]:
+        """Smallest configured bucket >= ``lmax`` (None = no slicing)."""
+        for b in sorted(self.cfg.seq_buckets or ()):
             if b >= lmax:
-                return min(b, mask_rows.shape[-1])
+                return min(b, width)
         return None
+
+    def _bucket_len(self, mask_rows) -> Optional[int]:
+        if not self.cfg.seq_buckets:
+            return None
+        return self._bucket_for(int(mask_rows.sum(axis=-1).max()),
+                                mask_rows.shape[-1])
 
     @staticmethod
     def bucket_slice(batch: Dict[str, np.ndarray], length: Optional[int]):
@@ -157,8 +158,13 @@ class SplitPipeline:
             if pad:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
                 valid[len(idx) - pad:] = 0.0
-            blen = (self._bucket_len(self.mask[idx])
-                    if bucket and self.mask is not None else None)
+            # bucket length (and the raw global max length, for chunked
+            # stacking) derive from the GLOBAL batch, before any per-host
+            # row slicing — every pod host must compile the same shape
+            gmax = (int(self.mask[idx].sum(axis=-1).max())
+                    if self.cfg.seq_buckets and self.mask is not None else None)
+            blen = (self._bucket_for(gmax, self.mask.shape[-1])
+                    if bucket and gmax is not None else None)
             if local_rows is not None:
                 lo, hi = local_rows
                 idx = idx[lo:hi]
@@ -184,6 +190,8 @@ class SplitPipeline:
                 batch["roi_boxes"] = boxes
             if self.image_adds is not None:
                 batch["image_adds"] = np.asarray(self.image_adds, np.int32)[idx]
+            if gmax is not None and not bucket:
+                batch["_max_len"] = gmax  # host-only aux for chunked bucketing
             yield batch
 
     def device_iter(self, shuffle=False, rng=None, mesh_plan=None):
@@ -238,15 +246,24 @@ class SplitPipeline:
         duplicates of the last batch carrying ``step_valid = 0`` (skipped
         inside the scan), so every chunk reuses ONE compiled scan shape.
 
-        Single-process only (a pod's per-host row slicing composes with the
-        per-step ``device_iter`` path instead)."""
+        On a pod each process stacks only its own rows of each global batch
+        and the global ``(K, global_B, ...)`` arrays assemble via
+        ``MeshPlan.process_batch_stacked`` — the scanned dispatch composes
+        with multi-host input sharding (tests/test_multiprocess.py)."""
         import jax
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "chunked dispatch is single-process; use device_iter on pods")
-        put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
-               else jax.device_put)
+        multi_host = jax.process_count() > 1
+        local_rows = None
+        if multi_host:
+            if mesh_plan is None:
+                raise ValueError("multi-process chunked dispatch needs a "
+                                 "mesh plan (process_batch_stacked)")
+            local_rows = mesh_plan.process_rows(self.cfg.batch_size)
+            put = lambda b: mesh_plan.process_batch_stacked(
+                b, self.cfg.batch_size)
+        else:
+            put = (mesh_plan.shard_batch_stacked if mesh_plan is not None
+                   else jax.device_put)
 
         def stack(chunk):
             k = len(chunk)
@@ -254,16 +271,21 @@ class SplitPipeline:
             if k < chunk_steps:
                 chunk = chunk + [chunk[-1]] * (chunk_steps - k)
                 step_valid[k:] = 0.0
+            lmaxes = [b.pop("_max_len") for b in chunk if "_max_len" in b]
             out = {key: np.stack([b[key] for b in chunk])
                    for key in chunk[0]}
             out["step_valid"] = step_valid
-            if "mask" in out:
+            if lmaxes:
                 # bucket by CHUNK max so every batch in the stacked scan
-                # shares one static width (batches() left them unsliced)
-                out = self.bucket_slice(out, self._bucket_len(out["mask"]))
+                # shares one static width; lmaxes are GLOBAL maxima, so pod
+                # hosts agree on the width (batches() left arrays unsliced)
+                out = self.bucket_slice(
+                    out, self._bucket_for(max(lmaxes), out["mask"].shape[-1]))
             return out, k
 
         def put_keep_ids(batches):
+            if multi_host:
+                return dict(put(batches))  # global id column assembly
             # see device_iter: data_id never rides through device_put
             host = {k: batches.pop(k) for k in ("data_id",) if k in batches}
             out = dict(put(batches))
@@ -272,7 +294,8 @@ class SplitPipeline:
 
         pending = None
         chunk: list = []
-        for batch in self.batches(shuffle=shuffle, rng=rng, bucket=False):
+        for batch in self.batches(shuffle=shuffle, rng=rng, bucket=False,
+                                  local_rows=local_rows):
             chunk.append(batch)
             if len(chunk) == chunk_steps:
                 nxt = stack(chunk)

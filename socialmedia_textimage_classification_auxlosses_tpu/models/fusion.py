@@ -138,10 +138,11 @@ class MMLateModel(nn.Module):
     def __call__(self, ids, attention_mask, pixel_values, token_type_ids=None,
                  tim_ids=None, tim_mask=None, tim_token_type_ids=None,
                  iadds_task=False, deterministic=True, word_embeds=None,
-                 tim_word_embeds=None, vision_hidden=None, vision_pooled=None):
+                 tim_word_embeds=None, vision_hidden=None, vision_pooled=None,
+                 tim_src=None):
         b = ids.shape[0]
-        use_tim = tim_ids is not None
-        if use_tim:
+        use_tim = tim_ids is not None or tim_src is not None
+        if tim_ids is not None:
             # Batch the TIM text pass WITH the primary text pass: one tower
             # call over 2B rows instead of two over B (per-sample ops —
             # identical math; 2x the matmul rows keeps the MXU busier at the
@@ -159,6 +160,20 @@ class MMLateModel(nn.Module):
             ids, attention_mask, token_type_ids, deterministic,
             word_embeds=word_embeds,
         )
+        if tim_src is not None:
+            # ``--tim_reuse_text``: the swapped TIM rows are by construction
+            # a permutation of the batch's own rows (train/itm.py), so the
+            # second text-tower pass recomputes activations of texts the
+            # primary pass just encoded. Reuse them by row gather — the
+            # tower runs on B rows instead of 2B (the dominant step cost at
+            # batch 8, BASELINE.md ablation). EXACT in deterministic mode;
+            # under dropout the reused rows share the primary pass's masks
+            # where the reference (mm_late.py:168-182) draws fresh ones —
+            # the documented deviation that keeps this flag opt-in.
+            text_hidden = jnp.concatenate(
+                [text_hidden, jnp.take(text_hidden, tim_src, axis=0)], 0)
+            text_pooled = jnp.concatenate(
+                [text_pooled, jnp.take(text_pooled, tim_src, axis=0)], 0)
         if vision_hidden is None:
             vision_hidden, vision_pooled = self.dual.encode_vision(
                 pixel_values, deterministic

@@ -119,6 +119,26 @@ class MeshPlan:
 
         return jax.tree_util.tree_map(to_global, local_batch)
 
+    def process_batch_stacked(self, local_batches, global_batch_size: int):
+        """Pod counterpart of ``shard_batch_stacked``: assemble a global
+        ``(K, global_B, ...)`` chunk from this process's ``(K, local_B, ...)``
+        stack — axis 1 shards over ``data``; per-chunk ``(K,)`` scalars
+        (``step_valid``) replicate, so every host must pass identical values
+        (they do: the chunk layout is a pure function of the shared shuffle
+        rng). Composes the scanned multi-step dispatch with multi-host
+        input sharding (VERDICT.md round-2 item 5)."""
+        stacked = NamedSharding(self.mesh, P(None, "data"))
+        rep = self.replicated()
+
+        def to_global(x):
+            x = np.asarray(x)
+            if x.ndim >= 2:
+                shape = (x.shape[0], global_batch_size) + tuple(x.shape[2:])
+                return jax.make_array_from_process_local_data(stacked, x, shape)
+            return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+        return {k: to_global(v) for k, v in local_batches.items()}
+
 
 def make_mesh_plan(
     data: Optional[int] = None, model: int = 1, devices=None

@@ -43,19 +43,27 @@ def build(variant, steps):
     del batch["pixel_values"]
 
     deterministic_force = variant == "no_dropout"
+    tim_reuse = variant in ("tim_reuse", "fused_tim")
 
     def forward_fn(p, b, tim_inputs, dropout_rng, deterministic,
                    word_embeds=None, tim_word_embeds=None):
         det = deterministic or deterministic_force
         rngs = None if det else {"dropout": dropout_rng}
+        tim_kw = {}
+        if tim_inputs is not None:
+            if tim_reuse:
+                tim_kw = {"tim_src": tim_inputs["src"]}
+            else:
+                tim_kw = {"tim_ids": tim_inputs["ids"],
+                          "tim_mask": tim_inputs["mask"],
+                          "tim_word_embeds": tim_word_embeds}
         return model.apply(
             p, b["ids"], b["mask"], None,
-            tim_ids=None if tim_inputs is None else tim_inputs["ids"],
-            tim_mask=None if tim_inputs is None else tim_inputs["mask"],
             deterministic=det, rngs=rngs,
-            word_embeds=word_embeds, tim_word_embeds=tim_word_embeds,
+            word_embeds=word_embeds,
             vision_hidden=b["vision_hidden"],
             vision_pooled=b["vision_pooled"],
+            **tim_kw,
         )
 
     use_aux = variant not in ("ce_only",)
@@ -68,7 +76,15 @@ def build(variant, steps):
         lazy_cfg = LazyEmbConfig(path=find_word_embedding_path(params),
                                  lr=1e-5, weight_decay=2.5e-4)
         frozen = any_of(frozen, lazy_emb_predicate(lazy_cfg))
-    tx = make_optimizer(1e-5, 2.5e-4, frozen)
+    if variant == "no_opt":
+        # zero updates for every non-embedding param: isolates the AdamW
+        # read-modify-write traffic (fwd+bwd+lazy-emb rows remain)
+        import optax
+
+        tx = optax.set_to_zero()
+    else:
+        tx = make_optimizer(1e-5, 2.5e-4, frozen,
+                            fused=variant in ("fused_opt", "fused_tim"))
     opt_state = tx.init(params)
     if lazy_cfg is not None:
         opt_state = {"tx": opt_state,
@@ -97,9 +113,15 @@ def measure(variant, steps=10, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--prng_impl", default="rbg",
+                    choices=["rbg", "threefry"],
+                    help="match the bench/CLI default (rbg)")
     ap.add_argument("--variants", nargs="*", default=[
-        "full", "no_tim", "ce_only", "no_dropout", "dense_opt"])
+        "full", "no_opt", "no_tim", "ce_only", "no_dropout", "dense_opt"])
     args = ap.parse_args()
+    jax.config.update("jax_default_prng_impl",
+                      {"threefry": "threefry2x32"}.get(args.prng_impl,
+                                                       args.prng_impl))
     for v in args.variants:
         ms = measure(v, steps=args.steps)
         print(f"{v:>12}: {ms:7.2f} ms/step  ({8 / ms * 1e3:6.1f} posts/s)",
