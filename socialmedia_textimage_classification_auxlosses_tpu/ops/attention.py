@@ -329,6 +329,12 @@ def _auto_impl(b: int, h: int, lq: int, lk: int) -> str:
     # block, so only the per-tile footprint must fit VMEM
     block_lq = lq if lq <= 2 * _Q_BLOCK else _Q_BLOCK
     score_bytes = h * block_lq * lk * 4
+    # Short-key cross-attention (LXMERT: 128 text queries over 36 ROI keys,
+    # reference mm_early.py:121-129): the kernel beats XLA's lane-padded
+    # softmax 8-14% at lk=36 for b in {8,16} (BASELINE.md round-3 cross
+    # table), independent of the large-work crossover below.
+    if lk <= 48 and lq >= 64 and score_bytes <= _AUTO_MAX_VMEM_BYTES:
+        return "pallas"
     # auto stays within the regime validated on this environment's remote
     # compiler (lk <= 256: measured wins at b>=96 L=197 / b>=64 L=256; the
     # blocked kernel compiles at longer lk for small b but the remote

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(variant, steps):
+def build(variant, steps, seq_len=128):
     import __graft_entry__ as G
     from socialmedia_textimage_classification_auxlosses_tpu.models.fusion import (
         MMLateModel,
@@ -34,8 +34,8 @@ def build(variant, steps):
         LossConfig, make_train_many,
     )
 
-    model, params, batch = G._flagship(batch=8, seq_len=128, image_size=224,
-                                       num_labels=4)
+    model, params, batch = G._flagship(batch=8, seq_len=seq_len,
+                                       image_size=224, num_labels=4)
     vh, vp = jax.jit(lambda p, px: model.apply(
         p, px, deterministic=True, method=MMLateModel.encode_vision))(
             params, batch["pixel_values"])
@@ -95,8 +95,8 @@ def build(variant, steps):
     return many, params, opt_state, stacked
 
 
-def measure(variant, steps=10, reps=5):
-    many, params, opt_state, stacked = build(variant, steps)
+def measure(variant, steps=10, reps=5, seq_len=128):
+    many, params, opt_state, stacked = build(variant, steps, seq_len=seq_len)
     key = jax.random.PRNGKey(0)
     params, opt_state, m = many(params, opt_state, stacked, key, 0)
     jax.block_until_ready(m["loss"])
@@ -118,14 +118,16 @@ def main():
                     help="match the bench/CLI default (rbg)")
     ap.add_argument("--variants", nargs="*", default=[
         "full", "no_opt", "no_tim", "ce_only", "no_dropout", "dense_opt"])
+    ap.add_argument("--seq_len", type=int, default=128,
+                    help="text width (sequence-bucketing table: 32/64/96/128)")
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl",
                       {"threefry": "threefry2x32"}.get(args.prng_impl,
                                                        args.prng_impl))
     for v in args.variants:
-        ms = measure(v, steps=args.steps)
-        print(f"{v:>12}: {ms:7.2f} ms/step  ({8 / ms * 1e3:6.1f} posts/s)",
-              flush=True)
+        ms = measure(v, steps=args.steps, seq_len=args.seq_len)
+        print(f"{v:>12} seq{args.seq_len}: {ms:7.2f} ms/step  "
+              f"({8 / ms * 1e3:6.1f} posts/s)", flush=True)
 
 
 if __name__ == "__main__":

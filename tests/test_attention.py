@@ -89,6 +89,15 @@ def test_auto_dispatch_rules():
     assert work(64, 12, 197, 197) < _AUTO_MIN_WORK         # measured XLA win
     assert 12 * 512 * 512 * 4 > _AUTO_MAX_VMEM_BYTES       # long seq capped
 
+    # short-key cross-attention rule (LXMERT lk=36: measured pallas win)
+    from unittest import mock
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        assert _auto_impl(8, 12, 128, 36) == "pallas"      # LXMERT x-modal
+        assert _auto_impl(16, 12, 184, 184) == "jnp"       # ViLT joint: XLA
+        assert _auto_impl(8, 12, 128, 128) == "jnp"        # paper text shape
+        assert _auto_impl(8, 12, 32, 36) == "jnp"          # tiny lq: XLA
+        assert _auto_impl(96, 12, 197, 197) == "pallas"    # crossover regime
+
 
 def test_blocked_long_seq_forward_matches_reference(rng):
     """lq > 2*_Q_BLOCK engages the Lq-tiled kernel (incl. a padded tail)."""

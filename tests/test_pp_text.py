@@ -145,16 +145,42 @@ def test_run_txt_mesh_pipe_end_to_end(task3):
     assert os.path.isfile(out + "bert_task3_seed30_metrics_val.csv")
 
 
-def test_run_mm_early_vilt_mesh_pipe_end_to_end(task3):
+def test_run_mm_early_vilt_mesh_pipe_end_to_end(tmp_path):
     """ViLT's joint encoder (a TransformerStack) pipelines via the same
-    config hook."""
-    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_early
+    config hook.
 
-    run_mm_early.main(["--model", "vilt", "--task", "3", "--epochs", "1",
-                       "--arch", "tiny", "--dtype", "float32",
-                       "--attn_impl", "jnp", "--scan_layers",
-                       "--mesh_pipe", "2", "--log_every", "1"])
-    out = str(task3 / "results" / "results_dir_mm_early") + "/"
+    Runs the CLI in a SUBPROCESS (not in-process main()): late in a
+    single-process full-suite run, this exact in-process invocation
+    SIGABRTed inside the XLA CPU runtime after ~115 accumulated tests
+    (message-less native abort during a device->host transfer; it passes in
+    isolation, and per-module jax.clear_caches did not cure it —
+    VERDICT.md round-2 weak 1). Process isolation removes the dependence on
+    accumulated backend state while still exercising the full real CLI."""
+    import subprocess
+    import sys
+
+    make_task_fixture(tmp_path / "data", task=3)
+    env = dict(os.environ)
+    env["SMTC_DATA_PATH"] = str(tmp_path / "data") + os.sep
+    env["SMTC_RESULTS_PATH"] = str(tmp_path / "results") + os.sep
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    kept = [f for f in env.get("XLA_FLAGS", "").split() if f and not
+            f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        kept + ["--xla_force_host_platform_device_count=8"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "socialmedia_textimage_classification_auxlosses_tpu.cli.run_mm_early",
+         "--model", "vilt", "--task", "3", "--epochs", "1",
+         "--arch", "tiny", "--dtype", "float32", "--attn_impl", "jnp",
+         "--scan_layers", "--mesh_pipe", "2", "--log_every", "1"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    out = str(tmp_path / "results" / "mm_early") + "/"
     found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
     assert found, out
 
