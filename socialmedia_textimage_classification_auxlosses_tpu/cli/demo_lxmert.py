@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--num_labels", type=int, default=2)
     parser.add_argument("--arch", type=str, default="tiny",
                         choices=["tiny", "small", "base"])
+    parser.add_argument("--obj_source", type=str, default="grid",
+                        choices=["grid", "frcnn"],
+                        help="object features: grid pseudo-ROIs (fast) or "
+                             "the native FRCNN detector (models/frcnn.py; "
+                             "reference obj_features.py:142-173 path)")
     args = parser.parse_args(argv)
 
     import jax
@@ -36,12 +41,19 @@ def main(argv=None):
     from .obj_features import extract_grid_features
     import tempfile
 
-    # 1) object features for the one image (grid features, see obj_features)
+    # 1) object features for the one image (reference lxmert.py:36-73 runs
+    # its external FRCNN here; --obj_source frcnn uses OUR detector)
     with tempfile.TemporaryDirectory() as td:
         cache = RoiFeatureCache(td)
         # a literal path with no {} braces passes through .format() unchanged
-        extract_grid_features(["demo"], args.image, cache,
-                              tiny=(args.arch == "tiny"))
+        if args.obj_source == "frcnn":
+            from .obj_features import extract_frcnn_features
+
+            extract_frcnn_features(["demo"], args.image, cache,
+                                   tiny=(args.arch == "tiny"))
+        else:
+            extract_grid_features(["demo"], args.image, cache,
+                                  tiny=(args.arch == "tiny"))
         feats, boxes = cache.gather(["demo"])
 
     # 2) tokenize

@@ -7,7 +7,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("USE_TF", "0")  # keep transformers from probing TF
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# The 8 virtual devices execute shard_map collectives via an in-process
+# rendezvous whose default termination timeout is 40s; on a 1-core CI host
+# under load the 8 partition threads can be scheduled too slowly, and XLA
+# CHECK-aborts the process ("Expected 8 threads to join the rendezvous") —
+# the root cause of the round-2 full-suite SIGABRT. Give starved collectives
+# time instead of death.
+for tf in ("--xla_cpu_collective_call_terminate_timeout_seconds=600",
+           "--xla_cpu_collective_timeout_seconds=600"):
+    if tf.split("=")[0] not in flags:
+        flags += " " + tf
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -59,13 +59,15 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
     """Run a CLI runner as a REAL subprocess against a generated task
     fixture (env-var config anchoring), returning the results root.
 
-    Used for the --mesh_pipe end-to-end tests: executed in-process late in a
-    single-process full-suite run, those exact invocations hit a
-    message-less SIGABRT inside the XLA CPU runtime after ~115 accumulated
-    tests (device->host transfer in the fit loop; each passes in isolation,
-    and per-module jax.clear_caches did not cure it — VERDICT.md round-2
-    weak 1). Process isolation removes the dependence on accumulated
-    backend state while still exercising the full real CLI surface.
+    Used for the --mesh_pipe end-to-end tests. Root cause of the round-2
+    full-suite SIGABRT (VERDICT.md round-2 weak 1), finally surfaced by this
+    subprocess's captured stderr: the shard_map collective-permute over the
+    8 virtual CPU devices rendezvouses all 8 partition threads, and under a
+    loaded 1-core host the default 40s termination timeout CHECK-aborts the
+    whole process ("Expected 8 threads to join the rendezvous, but only 3
+    arrived"). The in-process abort lost that message. Fix: generous
+    collective timeouts (here and in conftest); the subprocess additionally
+    isolates any future runtime abort AND captures its message.
     """
     import subprocess
     import sys
@@ -79,6 +81,10 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     kept = [f for f in env.get("XLA_FLAGS", "").split() if f and not
             f.startswith("--xla_force_host_platform_device_count")]
+    for tf in ("--xla_cpu_collective_call_terminate_timeout_seconds=600",
+               "--xla_cpu_collective_timeout_seconds=600"):
+        if not any(k.startswith(tf.split("=")[0]) for k in kept):
+            kept.append(tf)
     env["XLA_FLAGS"] = " ".join(
         kept + [f"--xla_force_host_platform_device_count={n_devices}"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -56,3 +56,20 @@ def test_demo_lxmert(tmp_path):
                               "--num_labels", "3", "--arch", "tiny"])
     assert probs.shape == (3,)
     assert abs(probs.sum() - 1.0) < 1e-5
+
+
+def test_demo_lxmert_native_detector(tmp_path):
+    """The probe end-to-end through OUR FRCNN (tiny geometry): raw image ->
+    detector ROI features -> LXMERT -> prediction."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import demo_lxmert
+
+    img = tmp_path / "demo.jpg"
+    Image.fromarray(np.random.RandomState(1).randint(0, 255, (40, 60, 3),
+                                                     np.uint8)).save(img)
+    probs = demo_lxmert.main(["--image", str(img), "--text", "hello @user",
+                              "--num_labels", "3", "--arch", "tiny",
+                              "--obj_source", "frcnn"])
+    assert probs.shape == (3,)
+    assert abs(probs.sum() - 1.0) < 1e-5

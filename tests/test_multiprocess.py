@@ -35,6 +35,10 @@ def _env(n_local):
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     kept = [f for f in env.get("XLA_FLAGS", "").split() if f and not
             f.startswith("--xla_force_host_platform_device_count")]
+    for tf in ("--xla_cpu_collective_call_terminate_timeout_seconds=600",
+               "--xla_cpu_collective_timeout_seconds=600"):
+        if not any(k.startswith(tf.split("=")[0]) for k in kept):
+            kept.append(tf)
     env["XLA_FLAGS"] = " ".join(
         kept + [f"--xla_force_host_platform_device_count={n_local}"])
     env["PYTHONPATH"] = REPO + os.pathsep + HERE + os.pathsep + \
