@@ -249,19 +249,34 @@ class FrcnnStage1(nn.Module):
 
 
 class FrcnnStage2(nn.Module):
-    """ROIAlign + res5 + output heads over a fixed proposal count."""
+    """ROIAlign + res5 + output heads over a fixed proposal count.
+
+    Class selection and box decode happen ON DEVICE: only (feats, best
+    prob, best class, decoded boxes) cross to the host — the raw
+    (N, classes) score and (N, 4*classes) delta tensors are ~32 MB at full
+    VG geometry and dominated the warm per-image latency through the
+    tunneled link (BASELINE.md round-3 detector numbers)."""
 
     cfg: FrcnnConfig
 
     @nn.compact
-    def __call__(self, fmap, boxes):
+    def __call__(self, fmap, boxes, size_hw):
         cfg = self.cfg
         pooled = roi_align(fmap, boxes, output_size=cfg.pooler_resolution,
                            spatial_scale=1.0 / cfg.stride,
                            sampling_ratio=cfg.sampling_ratio)
         feats = Res5Head(cfg, name="res5_head")(pooled)
         scores, deltas = BoxPredictor(cfg, name="box_predictor")(feats)
-        return feats, scores, deltas
+        probs = jax.nn.softmax(scores, axis=-1)[:, :-1]   # background LAST
+        cls = jnp.argmax(probs, axis=-1)
+        n = boxes.shape[0]
+        best = probs[jnp.arange(n), cls]
+        dsel = jnp.take_along_axis(
+            deltas.reshape(n, cfg.num_classes, 4), cls[:, None, None],
+            axis=1)[:, 0]
+        det = decode_boxes(boxes, dsel, cfg.box_bbox_weights)
+        det = clip_boxes(det, size_hw[0], size_hw[1])
+        return feats, best, cls, det
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +480,9 @@ class FrcnnDetector:
         self._stage1 = jax.jit(
             lambda p, im: FrcnnStage1(cfg).apply(p, im))
         self._stage2 = jax.jit(
-            lambda p, fmap, boxes: FrcnnStage2(cfg).apply(p, fmap, boxes))
+            lambda p, fmap, boxes, size_hw: FrcnnStage2(cfg).apply(
+                p, fmap, boxes, size_hw))
+        self._gather = jax.jit(lambda f, i: f[i])
         self._anchor_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
     def init_params(self, rng):
@@ -477,7 +494,8 @@ class FrcnnDetector:
         grid = hp // cfg.stride
         fmap = jnp.zeros((grid, grid, cfg.res4_features), jnp.float32)
         boxes = jnp.zeros((4, 4), jnp.float32)
-        s2 = FrcnnStage2(cfg).init(k2, fmap, boxes)
+        s2 = FrcnnStage2(cfg).init(k2, fmap, boxes,
+                                   jnp.asarray([hp, hp], jnp.float32))
         return {"stage1": s1, "stage2": s2}
 
     def _anchors(self, grid_h, grid_w):
@@ -509,22 +527,13 @@ class FrcnnDetector:
                           max_out=cfg.rpn_post_nms_topk)
         return boxes[keep], sc[keep]
 
-    def _select_detections(self, proposals, scores, deltas, size_hw):
-        """Final per-class selection (host): softmax scores (background
-        LAST), class-specific box decode, per-class NMS, global top-36 with
-        min-detection backfill (the reference pads to exactly
-        ``max_detections``, obj_features.py:157-164)."""
+    def _select_detections(self, boxes, best, cls):
+        """Final per-class selection (host). Softmax, best-class argmax and
+        the class-specific box decode/clip already ran ON DEVICE in
+        FrcnnStage2; here only the sequential parts remain: per-class greedy
+        NMS, global top-36, min-detection backfill (the reference pads to
+        exactly ``max_detections``, obj_features.py:157-164)."""
         cfg = self.cfg
-        n = proposals.shape[0]
-        probs = jax.nn.softmax(jnp.asarray(scores), axis=-1)
-        probs = np.asarray(probs)[:, :-1]                    # drop background
-        deltas = np.asarray(deltas).reshape(n, cfg.num_classes, 4)
-        cls = np.argmax(probs, axis=1)                       # best class/box
-        best = probs[np.arange(n), cls]
-        boxes = np.asarray(decode_boxes(
-            jnp.asarray(proposals), jnp.asarray(deltas[np.arange(n), cls]),
-            cfg.box_bbox_weights))
-        boxes = np.asarray(clip_boxes(boxes, size_hw[0], size_hw[1]))
 
         chosen: list = []
         suppressed: list = []
@@ -557,17 +566,25 @@ class FrcnnDetector:
         npad = n - proposals.shape[0]
         prop_fixed = np.zeros((n, 4), np.float32)
         prop_fixed[: proposals.shape[0]] = proposals
-        feats, scores, box_deltas = self._stage2(
-            self.params["stage2"], fmap[0], jnp.asarray(prop_fixed))
-        feats = np.asarray(feats)[: n - npad]
-        scores = np.asarray(scores)[: n - npad]
-        box_deltas = np.asarray(box_deltas)[: n - npad]
-        idx, boxes, best, cls = self._select_detections(
-            proposals, scores, box_deltas, size_hw)
+        feats, best_d, cls_d, det_d = self._stage2(
+            self.params["stage2"], fmap[0], jnp.asarray(prop_fixed),
+            jnp.asarray(size_hw, jnp.float32))
+        valid = n - npad
+        best = np.asarray(best_d)[:valid]
+        cls = np.asarray(cls_d)[:valid]
+        det = np.asarray(det_d)[:valid]
+        idx, boxes, best, cls = self._select_detections(det, best, cls)
+        # gather ONLY the chosen ROI-feature rows on device (fixed width so
+        # the gather jit-caches); the (rpn_post_nms_topk, feat_dim) feats
+        # tensor never crosses to the host
+        pad_idx = np.zeros(cfg.max_detections, np.int32)
+        pad_idx[: len(idx)] = idx
+        feats_sel = np.asarray(
+            self._gather(feats, jnp.asarray(pad_idx)))[: len(idx)]
         norm = boxes / np.asarray([size_hw[1], size_hw[0],
                                    size_hw[1], size_hw[0]], np.float32)
         out = {
-            "roi_features": feats[idx],
+            "roi_features": feats_sel,
             "normalized_boxes": norm.astype(np.float32),
             "scores": best.astype(np.float32),
             "classes": cls.astype(np.int64),
