@@ -237,13 +237,26 @@ class BoxPredictor(nn.Module):
 
 
 class FrcnnStage1(nn.Module):
-    """Backbone + RPN head (everything dense before proposal selection)."""
+    """Backbone + RPN head (everything dense before proposal selection).
+
+    Input is the RAW padded uint8 RGB canvas; BGR flip + pixel-mean
+    subtraction run on device (uint8 crosses the host->device link — 4x
+    less than fp32 — and PIL's bilinear resize is uint8-quantized anyway,
+    so this is bit-identical to host-side normalization). The pad region
+    is re-zeroed from ``size_hw`` to keep Detectron's pad-after-normalize
+    semantics (zeros in normalized space, not -mean)."""
 
     cfg: FrcnnConfig
 
     @nn.compact
-    def __call__(self, images):
-        fmap = C4Backbone(self.cfg, name="backbone")(images)
+    def __call__(self, images, size_hw):
+        mean = jnp.asarray(self.cfg.pixel_mean_bgr, jnp.float32)
+        x = images.astype(jnp.float32)[..., ::-1] - mean
+        ph, pw = images.shape[1], images.shape[2]
+        row = jnp.arange(ph, dtype=jnp.float32)[None, :, None, None]
+        col = jnp.arange(pw, dtype=jnp.float32)[None, None, :, None]
+        x = jnp.where((row < size_hw[0]) & (col < size_hw[1]), x, 0.0)
+        fmap = C4Backbone(self.cfg, name="backbone")(x)
         logits, deltas = RpnHead(self.cfg, name="rpn_head")(fmap)
         return fmap, logits, deltas
 
@@ -423,13 +436,17 @@ def roi_align(fmap, boxes, *, output_size: int, spatial_scale: float,
 
 
 def preprocess_image(img, cfg: FrcnnConfig):
-    """RGB uint8 array -> (padded BGR mean-subtracted f32 (Hp, Wp, 3),
+    """RGB uint8 array -> (padded RAW uint8 RGB canvas (Hp, Wp, 3),
     (resized_h, resized_w), scale_yx original/resized).
 
     Shortest side to ``min_size`` capped so the longest stays <= ``max_size``
-    (bilinear), BGR channel order, mean subtraction, zero-pad to the static
-    padded geometry (two orientations: landscape / portrait — two jit
-    specializations instead of per-image shapes)."""
+    (PIL bilinear), zero-pad to the static padded geometry (two orientations:
+    landscape / portrait — two jit specializations instead of per-image
+    shapes). BGR flip + pixel-mean subtraction happen ON DEVICE in
+    ``FrcnnStage1`` — the uint8 canvas crosses host->device 4x smaller than
+    fp32 and the normalization is bit-identical (PIL's resize output is
+    uint8-quantized either way). ``normalize_canvas`` reproduces the
+    normalized fp32 canvas host-side for parity harnesses."""
     from PIL import Image
 
     if isinstance(img, Image.Image):
@@ -443,8 +460,7 @@ def preprocess_image(img, cfg: FrcnnConfig):
     h1 = max(int(round(h0 * scale)), 1)
     w1 = max(int(round(w0 * scale)), 1)
     resized = np.asarray(
-        Image.fromarray(arr).resize((w1, h1), Image.BILINEAR), np.float32)
-    bgr = resized[..., ::-1] - np.asarray(cfg.pixel_mean_bgr, np.float32)
+        Image.fromarray(arr).resize((w1, h1), Image.BILINEAR), np.uint8)
     div = cfg.size_divisibility
 
     def rup(v):
@@ -455,10 +471,22 @@ def preprocess_image(img, cfg: FrcnnConfig):
     # total instead of one per image shape
     ph = rup(cfg.min_size) if w1 >= h1 else rup(cfg.max_size)
     pw = rup(cfg.max_size) if w1 >= h1 else rup(cfg.min_size)
-    out = np.zeros((ph, pw, 3), np.float32)
-    out[:h1, :w1] = bgr
+    out = np.zeros((ph, pw, 3), np.uint8)
+    out[:h1, :w1] = resized
     scale_yx = np.asarray([h0 / h1, w0 / w1], np.float32)
     return out, (h1, w1), scale_yx
+
+
+def normalize_canvas(canvas, size_hw, cfg: FrcnnConfig):
+    """Host-side twin of FrcnnStage1's on-device normalization: uint8 RGB
+    canvas -> fp32 BGR mean-subtracted, pad region zeroed (Detectron
+    pad-after-normalize semantics). Used by parity tests to feed torch
+    references that expect the normalized tensor."""
+    x = canvas.astype(np.float32)[..., ::-1] - np.asarray(
+        cfg.pixel_mean_bgr, np.float32)
+    x[size_hw[0]:, :, :] = 0.0
+    x[:, size_hw[1]:, :] = 0.0
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +506,7 @@ class FrcnnDetector:
                                       else jax.random.PRNGKey(0))
         self.params = params
         self._stage1 = jax.jit(
-            lambda p, im: FrcnnStage1(cfg).apply(p, im))
+            lambda p, im, size_hw: FrcnnStage1(cfg).apply(p, im, size_hw))
         self._stage2 = jax.jit(
             lambda p, fmap, boxes, size_hw: FrcnnStage2(cfg).apply(
                 p, fmap, boxes, size_hw))
@@ -489,8 +517,8 @@ class FrcnnDetector:
         cfg = self.cfg
         k1, k2 = jax.random.split(rng)
         hp = cfg.size_divisibility * 2
-        im = jnp.zeros((1, hp, hp, 3), jnp.float32)
-        s1 = FrcnnStage1(cfg).init(k1, im)
+        im = jnp.zeros((1, hp, hp, 3), jnp.uint8)
+        s1 = FrcnnStage1(cfg).init(k1, im, jnp.asarray([hp, hp], jnp.float32))
         grid = hp // cfg.stride
         fmap = jnp.zeros((grid, grid, cfg.res4_features), jnp.float32)
         boxes = jnp.zeros((4, 4), jnp.float32)
@@ -558,8 +586,9 @@ class FrcnnDetector:
         in [0,1] of the resized image, plus scores/classes."""
         cfg = self.cfg
         image, size_hw, _ = preprocess_image(img, cfg)
-        fmap, logits, deltas = self._stage1(self.params["stage1"],
-                                            image[None])
+        fmap, logits, deltas = self._stage1(
+            self.params["stage1"], image[None],
+            jnp.asarray(size_hw, jnp.float32))
         proposals, _ = self._rpn_proposals(logits[0], deltas[0], size_hw)
         # fixed proposal count for the jitted stage 2 (pad + mask)
         n = cfg.rpn_post_nms_topk

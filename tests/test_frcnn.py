@@ -77,13 +77,18 @@ def test_anchors_match_twin():
 def test_backbone_rpn_parity(twin_and_params):
     import torch
 
+    import jax.numpy as jnp
+
     twin, params = twin_and_params
     image, size_hw, _ = FR.preprocess_image(_image(), TINY)
+    assert image.dtype == np.uint8   # raw canvas; normalization is on-device
     det = FR.FrcnnDetector(TINY, params=params)
-    fmap, logits, deltas = det._stage1(params["stage1"], image[None])
+    fmap, logits, deltas = det._stage1(
+        params["stage1"], image[None], jnp.asarray(size_hw, jnp.float32))
+    norm = FR.normalize_canvas(image, size_hw, TINY)
     with torch.no_grad():
         t_fmap = twin.backbone(torch.tensor(
-            image.transpose(2, 0, 1)[None]))
+            norm.transpose(2, 0, 1)[None]))
         t_logits, t_deltas = twin.proposal_generator.rpn_head(t_fmap)
     np.testing.assert_allclose(
         np.asarray(fmap[0]), t_fmap[0].permute(1, 2, 0).numpy(),
@@ -102,7 +107,8 @@ def test_end_to_end_parity(twin_and_params):
     det = FR.FrcnnDetector(TINY, params=params)
     ours = det.detect(raw)
     image, size_hw, _ = FR.preprocess_image(raw, TINY)
-    ref = twin.detect(image.transpose(2, 0, 1), size_hw)
+    norm = FR.normalize_canvas(image, size_hw, TINY)
+    ref = twin.detect(norm.transpose(2, 0, 1), size_hw)
     assert ours["roi_features"].shape == (TINY.max_detections, TINY.feat_dim)
     np.testing.assert_array_equal(ours["classes"], ref["classes"])
     np.testing.assert_allclose(ours["normalized_boxes"],
