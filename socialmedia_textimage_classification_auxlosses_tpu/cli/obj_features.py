@@ -139,16 +139,37 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
     ids = [str(i) for i in ids]
     feats = np.zeros((len(ids), cfg.max_detections, cfg.feat_dim), np.float32)
     boxes = np.zeros((len(ids), cfg.max_detections, 4), np.float32)
-    for k, data_id in enumerate(ids):
+    # Batched dispatch: group B images per device round-trip (detect_batch
+    # pads each canvas-orientation group to B so stage 1/2 compile at most
+    # twice), vs the reference's strictly per-image loop
+    # (obj_features.py:142-173).
+    B = 8
+    for start in range(0, len(ids), B):
+        chunk = ids[start:start + B]
+        imgs, ok = [], []
+        for data_id in chunk:
+            try:
+                imgs.append(open_image(img_fmt, data_id, on_missing="zeros"))
+                ok.append(True)
+            except Exception:
+                imgs.append(None)
+                ok.append(False)
+                logger.info("failed id %s", data_id)
         try:
-            img = open_image(img_fmt, data_id, on_missing="zeros")
-            out = det.detect(img)
-            feats[k] = out["roi_features"]
-            boxes[k] = out["normalized_boxes"]
+            outs = det.detect_batch([im for im in imgs if im is not None],
+                                    pad_to=B)
         except Exception:
-            logger.info("failed id %s", data_id)
-        if k % 100 == 0:
-            logger.info("frcnn features %d/%d", k, len(ids))
+            logger.info("failed batch at %d", start)
+            continue
+        it = iter(outs)
+        for j, good in enumerate(ok):
+            if not good:
+                continue
+            out = next(it)
+            feats[start + j] = out["roi_features"]
+            boxes[start + j] = out["normalized_boxes"]
+        if (start // B) % 16 == 0:
+            logger.info("frcnn features %d/%d", start, len(ids))
     cache.num_boxes = cfg.max_detections
     cache.feat_dim = cfg.feat_dim
     cache.write(ids, feats, boxes)

@@ -250,12 +250,15 @@ class FrcnnStage1(nn.Module):
 
     @nn.compact
     def __call__(self, images, size_hw):
+        # images (B, Hp, Wp, 3) uint8; size_hw (B, 2) per-image valid sizes
         mean = jnp.asarray(self.cfg.pixel_mean_bgr, jnp.float32)
         x = images.astype(jnp.float32)[..., ::-1] - mean
         ph, pw = images.shape[1], images.shape[2]
         row = jnp.arange(ph, dtype=jnp.float32)[None, :, None, None]
         col = jnp.arange(pw, dtype=jnp.float32)[None, None, :, None]
-        x = jnp.where((row < size_hw[0]) & (col < size_hw[1]), x, 0.0)
+        h = size_hw[:, 0][:, None, None, None]
+        w = size_hw[:, 1][:, None, None, None]
+        x = jnp.where((row < h) & (col < w), x, 0.0)
         fmap = C4Backbone(self.cfg, name="backbone")(x)
         logits, deltas = RpnHead(self.cfg, name="rpn_head")(fmap)
         return fmap, logits, deltas
@@ -510,7 +513,13 @@ class FrcnnDetector:
         self._stage2 = jax.jit(
             lambda p, fmap, boxes, size_hw: FrcnnStage2(cfg).apply(
                 p, fmap, boxes, size_hw))
+        self._stage2v = jax.jit(
+            lambda p, fmap, boxes, size_hw: jax.vmap(
+                lambda f, b, s: FrcnnStage2(cfg).apply(p, f, b, s)
+            )(fmap, boxes, size_hw))
         self._gather = jax.jit(lambda f, i: f[i])
+        self._gatherv = jax.jit(
+            lambda f, i: f[jnp.arange(f.shape[0])[:, None], i])
         self._anchor_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
     def init_params(self, rng):
@@ -518,7 +527,8 @@ class FrcnnDetector:
         k1, k2 = jax.random.split(rng)
         hp = cfg.size_divisibility * 2
         im = jnp.zeros((1, hp, hp, 3), jnp.uint8)
-        s1 = FrcnnStage1(cfg).init(k1, im, jnp.asarray([hp, hp], jnp.float32))
+        s1 = FrcnnStage1(cfg).init(k1, im,
+                                   jnp.asarray([[hp, hp]], jnp.float32))
         grid = hp // cfg.stride
         fmap = jnp.zeros((grid, grid, cfg.res4_features), jnp.float32)
         boxes = jnp.zeros((4, 4), jnp.float32)
@@ -584,49 +594,88 @@ class FrcnnDetector:
         """Raw RGB image (array or PIL) -> dict with ``roi_features``
         (max_detections, feat_dim), ``normalized_boxes`` (max_detections, 4)
         in [0,1] of the resized image, plus scores/classes."""
+        return self.detect_batch([img])[0]
+
+    def detect_batch(self, imgs, pad_to: Optional[int] = None) -> list:
+        """Batched inference over a list of raw images: ONE stage-1 dispatch
+        per canvas orientation and ONE vmapped stage-2 dispatch per group
+        (the sequential NMS/selection stays host-side per image, it is a
+        few thousand numpy boxes). Per-image results are identical to
+        ``detect`` — batching only amortizes dispatch/tunnel round-trips
+        and fills the MXU at the offline cacher's throughput shapes
+        (reference obj_features.py:142-173 runs strictly per image).
+
+        ``pad_to`` zero-pads each orientation group to a fixed batch so the
+        jitted stages compile at most twice (landscape/portrait) regardless
+        of the per-call orientation mix; padded rows are skipped host-side."""
         cfg = self.cfg
-        image, size_hw, _ = preprocess_image(img, cfg)
-        fmap, logits, deltas = self._stage1(
-            self.params["stage1"], image[None],
-            jnp.asarray(size_hw, jnp.float32))
-        proposals, _ = self._rpn_proposals(logits[0], deltas[0], size_hw)
-        # fixed proposal count for the jitted stage 2 (pad + mask)
         n = cfg.rpn_post_nms_topk
-        npad = n - proposals.shape[0]
-        prop_fixed = np.zeros((n, 4), np.float32)
-        prop_fixed[: proposals.shape[0]] = proposals
-        feats, best_d, cls_d, det_d = self._stage2(
-            self.params["stage2"], fmap[0], jnp.asarray(prop_fixed),
-            jnp.asarray(size_hw, jnp.float32))
-        valid = n - npad
-        best = np.asarray(best_d)[:valid]
-        cls = np.asarray(cls_d)[:valid]
-        det = np.asarray(det_d)[:valid]
-        idx, boxes, best, cls = self._select_detections(det, best, cls)
-        # gather ONLY the chosen ROI-feature rows on device (fixed width so
-        # the gather jit-caches); the (rpn_post_nms_topk, feat_dim) feats
-        # tensor never crosses to the host
-        pad_idx = np.zeros(cfg.max_detections, np.int32)
-        pad_idx[: len(idx)] = idx
-        feats_sel = np.asarray(
-            self._gather(feats, jnp.asarray(pad_idx)))[: len(idx)]
-        norm = boxes / np.asarray([size_hw[1], size_hw[0],
-                                   size_hw[1], size_hw[0]], np.float32)
-        out = {
-            "roi_features": feats_sel,
-            "normalized_boxes": norm.astype(np.float32),
-            "scores": best.astype(np.float32),
-            "classes": cls.astype(np.int64),
-        }
-        # degenerate images can leave fewer proposals than min_detections:
-        # zero-pad to the fixed region count (the reference's
-        # padding="max_detections" contract, obj_features.py:157-164)
-        short = self.cfg.max_detections - len(idx)
-        if short > 0:
-            for k, v in out.items():
-                pad = np.zeros((short,) + v.shape[1:], v.dtype)
-                out[k] = np.concatenate([v, pad - (k == "classes")])
-        return out
+        pre = [preprocess_image(im, cfg) for im in imgs]
+        groups: Dict[tuple, list] = {}
+        for i, (canvas, _, _) in enumerate(pre):
+            groups.setdefault(canvas.shape, []).append(i)
+        results: list = [None] * len(imgs)
+        for shape, idxs in groups.items():
+            bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
+            canv = np.zeros((bp,) + shape, np.uint8)
+            sizes = np.ones((bp, 2), np.float32)
+            for j, i in enumerate(idxs):
+                canv[j] = pre[i][0]
+                sizes[j] = pre[i][1]
+            fmap, logits, deltas = self._stage1(
+                self.params["stage1"], canv, jnp.asarray(sizes))
+            logits_h = np.asarray(logits)
+            deltas_h = np.asarray(deltas)
+            # fixed proposal count for the jitted stage 2 (pad + mask)
+            props = np.zeros((bp, n, 4), np.float32)
+            valid = np.zeros(bp, np.int32)
+            for j, i in enumerate(idxs):
+                p, _ = self._rpn_proposals(logits_h[j], deltas_h[j],
+                                           pre[i][1])
+                props[j, : p.shape[0]] = p
+                valid[j] = p.shape[0]
+            feats, best_d, cls_d, det_d = self._stage2v(
+                self.params["stage2"], fmap, jnp.asarray(props),
+                jnp.asarray(sizes))
+            best_h = np.asarray(best_d)
+            cls_h = np.asarray(cls_d)
+            det_h = np.asarray(det_d)
+            # gather ONLY the chosen ROI-feature rows on device (fixed
+            # width so the gather jit-caches); the (B, n, feat_dim) feats
+            # tensor never crosses to the host
+            pad_idx = np.zeros((bp, cfg.max_detections), np.int32)
+            sel = []
+            for j, i in enumerate(idxs):
+                v = int(valid[j])
+                chosen = self._select_detections(det_h[j, :v], best_h[j, :v],
+                                                 cls_h[j, :v])
+                pad_idx[j, : len(chosen[0])] = chosen[0]
+                sel.append(chosen)
+            feats_sel = np.asarray(self._gatherv(feats,
+                                                 jnp.asarray(pad_idx)))
+            for j, i in enumerate(idxs):
+                idx, boxes, best, cls = sel[j]
+                size_hw = pre[i][1]
+                norm = boxes / np.asarray([size_hw[1], size_hw[0],
+                                           size_hw[1], size_hw[0]],
+                                          np.float32)
+                out = {
+                    "roi_features": feats_sel[j, : len(idx)],
+                    "normalized_boxes": norm.astype(np.float32),
+                    "scores": best.astype(np.float32),
+                    "classes": cls.astype(np.int64),
+                }
+                # degenerate images can leave fewer proposals than
+                # min_detections: zero-pad to the fixed region count (the
+                # reference's padding="max_detections" contract,
+                # obj_features.py:157-164)
+                short = cfg.max_detections - len(idx)
+                if short > 0:
+                    for k, v2 in out.items():
+                        pad = np.zeros((short,) + v2.shape[1:], v2.dtype)
+                        out[k] = np.concatenate([v2, pad - (k == "classes")])
+                results[i] = out
+        return results
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,7 @@ def test_backbone_rpn_parity(twin_and_params):
     assert image.dtype == np.uint8   # raw canvas; normalization is on-device
     det = FR.FrcnnDetector(TINY, params=params)
     fmap, logits, deltas = det._stage1(
-        params["stage1"], image[None], jnp.asarray(size_hw, jnp.float32))
+        params["stage1"], image[None], jnp.asarray([size_hw], jnp.float32))
     norm = FR.normalize_canvas(image, size_hw, TINY)
     with torch.no_grad():
         t_fmap = twin.backbone(torch.tensor(
@@ -129,6 +129,19 @@ def test_detect_contract_random_init():
     assert (out["normalized_boxes"] >= 0).all()
     assert (out["normalized_boxes"] <= 1.0 + 1e-6).all()
     assert np.isfinite(out["roi_features"]).all()
+
+
+def test_detect_batch_matches_detect(twin_and_params):
+    """Batched (grouped-by-orientation, padded) inference is per-image
+    identical to the sequential path — batching only amortizes dispatches."""
+    _, params = twin_and_params
+    det = FR.FrcnnDetector(TINY, params=params)
+    imgs = [_image(seed=1), _image(h=70, w=40, seed=2), _image(seed=3)]
+    batched = det.detect_batch(imgs, pad_to=4)
+    for img, got in zip(imgs, batched):
+        ref = det.detect(img)
+        for k in ("roi_features", "normalized_boxes", "scores", "classes"):
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6)
 
 
 def test_obj_features_cli_frcnn_source(tmp_path, monkeypatch):
