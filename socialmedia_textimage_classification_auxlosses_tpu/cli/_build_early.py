@@ -124,11 +124,13 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
                                   seq_buckets=seq_buckets_from(args))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     else:  # lxmert
-        if int(getattr(args, "mesh_pipe", 1) or 1) > 1:
-            raise SystemExit("--mesh_pipe supports vilt (TransformerStack "
-                             "backbone); lxmert's cross-modal blocks are "
-                             "not pipelined")
-        mesh_plan = make_mesh(args)
+        from ..parallel.pp_lxmert import lxmert_stack_pred
+
+        scan = getattr(args, "scan_layers", False)
+        mesh_plan, pp = _maybe_pp(args, cfg, {"scan_layers": scan},
+                                  stack_pred=lxmert_stack_pred)
+        roi_cache = _ensure_roi_cache(args, cfg, data_splits,
+                                      grid_roi_fallback=grid_roi_fallback)
         lx_cfg = LxmertConfig(
             vocab_size=vocab, hidden=hidden, heads=heads, mlp_dim=mlp_dim,
             l_layers=(2 if args.arch != "base" else hf.get("l_layers", 9)),
@@ -138,10 +140,21 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             # reference's LxmertModel.from_pretrained does (mm_early.py:113)
             dropout=hf.get("hidden_dropout_prob", 0.1),
             dtype=args.dtype, attn_impl=args.attn_impl,
+            scan_layers=scan,
+            pipe_stages=(pp.mesh.shape["pipe"] if pp is not None else 1),
         )
+        if pp is not None:
+            # Three pipelined segments (lang/vis/cross) over the pipe axis;
+            # the cross segment rotates the concatenated [lang ‖ vis] pair
+            # (parallel/pp_lxmert.py)
+            import dataclasses as _dc
+
+            from ..parallel.pp_lxmert import make_lxmert_pp_runners
+
+            lx_cfg = _dc.replace(
+                lx_cfg, pp_runners=make_lxmert_pp_runners(
+                    lx_cfg, pp.mesh, pp.num_micro, roi_cache.num_boxes))
         model = LxmertClassifier(lx_cfg, cfg.num_labels, dropout=cfg.dropout)
-        roi_cache = _ensure_roi_cache(args, cfg, data_splits,
-                                      grid_roi_fallback=grid_roi_fallback)
         L = cfg.max_length
         ids0 = jnp.zeros((2, L), jnp.int32)
         f0 = jnp.zeros((2, roi_cache.num_boxes, roi_cache.feat_dim), jnp.float32)
@@ -151,7 +164,9 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         from ..models import hf_import as H
 
         params = H.maybe_import_lxmert(params, model_dir, lx_cfg.l_layers,
-                                       lx_cfg.r_layers, lx_cfg.x_layers)
+                                       lx_cfg.r_layers, lx_cfg.x_layers,
+                                       scan=scan,
+                                       pipe_stages=lx_cfg.pipe_stages)
 
         def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
             rngs = None if deterministic else {"dropout": dropout_rng}

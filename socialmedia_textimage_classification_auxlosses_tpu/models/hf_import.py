@@ -411,14 +411,48 @@ def maybe_import_vilt(params: dict, model_dir: str, num_layers: int,
     return merge_tower(params, tree, path)
 
 
+def stack_lxmert_scan_layers(tree: dict, l_layers: int, r_layers: int,
+                             x_layers: int, pipe_stages: int = 1) -> dict:
+    """Unrolled LXMERT backbone tree -> the scanned layout
+    (``{lang,vis,x}_layers.layer`` with a leading layer axis, zero-padded to
+    a multiple of ``pipe_stages`` — models/lxmert.py pad_layers; pad slots
+    are identity in the scan body so zero params are never observed)."""
+    import jax
+
+    from .lxmert import pad_layers
+
+    def _stack(prefix, n):
+        per = [tree[f"{prefix}_layer_{i}"] for i in range(n)]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per)
+        n_pad = pad_layers(n, pipe_stages)
+        if n_pad > n:
+            stacked = jax.tree_util.tree_map(
+                lambda a: np.concatenate(
+                    [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]),
+                stacked)
+        return {"layer": stacked}
+
+    out = {k: v for k, v in tree.items()
+           if not any(k.startswith(p) for p in
+                      ("lang_layer_", "vis_layer_", "x_layer_"))}
+    out["lang_layers"] = _stack("lang", l_layers)
+    out["vis_layers"] = _stack("vis", r_layers)
+    out["x_layers"] = _stack("x", x_layers)
+    return out
+
+
 def maybe_import_lxmert(params: dict, model_dir: str, l_layers: int,
                         r_layers: int, x_layers: int,
-                        path=("params", "backbone")) -> dict:
+                        path=("params", "backbone"), scan: bool = False,
+                        pipe_stages: int = 1) -> dict:
     state = load_state_dict(model_dir)
     if state is None:
         return params
-    return merge_tower(params, import_lxmert(state, l_layers, r_layers, x_layers),
-                       path)
+    tree = import_lxmert(state, l_layers, r_layers, x_layers)
+    if scan:
+        tree = stack_lxmert_scan_layers(tree, l_layers, r_layers, x_layers,
+                                        pipe_stages)
+    return merge_tower(params, tree, path)
 
 
 def import_dual_encoder(state: Dict[str, np.ndarray], text_layers: int,

@@ -25,6 +25,13 @@ from flax import linen as nn
 from .encoder import Attention, EncoderConfig, EncoderLayer, Mlp
 
 
+def pad_layers(n: int, stages: int) -> int:
+    """Scan length for ``n`` layers over ``stages`` pipeline stages: padded
+    up to a multiple so the stacked layer axis shards evenly; pad layers are
+    identity (masked in the scan body / runner)."""
+    return -(-n // max(1, stages)) * max(1, stages)
+
+
 @dataclasses.dataclass(frozen=True)
 class LxmertConfig:
     vocab_size: int = 30522
@@ -42,6 +49,18 @@ class LxmertConfig:
     ln_eps: float = 1e-12
     dtype: str = "float32"
     attn_impl: str = "auto"
+    # lax.scan over each of the three stacks (lang/vis/cross) — the layout
+    # pipeline parallelism needs. LXMERT's 9/5/5 depths rarely divide the
+    # stage count, so each stack's scan length pads to a multiple of
+    # ``pipe_stages`` with identity pad layers (zero params, output masked).
+    scan_layers: bool = False
+    pipe_stages: int = 1
+    # Pipeline hooks (requires scan_layers): dict with "lang"/"vis" runners
+    # ``(stacked, x, key_mask, rng) -> hidden`` and an "x" runner
+    # ``(stacked, lang, vis, lang_mask, vis_mask, rng) -> (lang, vis)``
+    # (parallel/pp_lxmert.py). Init still runs nn.scan so the param layout
+    # is identical with or without the runners.
+    pp_runners: object = None
 
     def encoder_cfg(self, layers: int) -> EncoderConfig:
         return EncoderConfig(
@@ -103,8 +122,53 @@ class VisualFeatEmbeddings(nn.Module):
         return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 
+class _MaskedScanBody(nn.Module):
+    """One scanned encoder layer with identity pad slots (``i >= n_real``)."""
+
+    cfg: EncoderConfig
+    n_real: int
+
+    @nn.compact
+    def __call__(self, x, i, key_mask, deterministic):
+        out = EncoderLayer(self.cfg, name="layer")(x, key_mask, deterministic)
+        return jnp.where(i < self.n_real, out, x), None
+
+
+class _MaskedXScanBody(nn.Module):
+    """One scanned cross-modality layer carrying the (lang, vis) pair."""
+
+    cfg: EncoderConfig
+    n_real: int
+
+    @nn.compact
+    def __call__(self, carry, i, lang_mask, vis_mask, deterministic):
+        lang, vis = carry
+        l2, v2 = CrossModalityLayer(self.cfg, name="layer")(
+            lang, vis, lang_mask, vis_mask, deterministic)
+        keep = i < self.n_real
+        return (jnp.where(keep, l2, lang), jnp.where(keep, v2, vis)), None
+
+
 class LxmertBackbone(nn.Module):
     cfg: LxmertConfig
+
+    def _scan(self, body_cls, name, lcfg, n_real, *args):
+        n_pad = pad_layers(n_real, self.cfg.pipe_stages)
+        scan = nn.scan(
+            body_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=n_pad,
+            in_axes=(0,) + (nn.broadcast,) * (len(args) - 1),
+        )
+        carry, _ = scan(lcfg, n_real, name=name)(
+            args[0], jnp.arange(n_pad), *args[1:])
+        return carry
+
+    def _dropout_rng(self, deterministic):
+        if deterministic or self.cfg.dropout <= 0:
+            return None
+        return self.make_rng("dropout")
 
     @nn.compact
     def __call__(self, ids, attention_mask, token_type_ids, visual_feats,
@@ -121,6 +185,29 @@ class LxmertBackbone(nn.Module):
         )(visual_feats, visual_pos, deterministic)
 
         vis_mask = jnp.ones(vis.shape[:2], jnp.int32)
+        cfg = self.cfg
+        if cfg.scan_layers and cfg.pp_runners is not None \
+                and not self.is_initializing():
+            run = cfg.pp_runners
+            p = self.variables["params"]
+            lang = run["lang"](p["lang_layers"]["layer"], lang,
+                               attention_mask, self._dropout_rng(deterministic))
+            vis = run["vis"](p["vis_layers"]["layer"], vis, vis_mask,
+                             self._dropout_rng(deterministic))
+            lang, vis = run["x"](p["x_layers"]["layer"], lang, vis,
+                                 attention_mask, vis_mask,
+                                 self._dropout_rng(deterministic))
+            return lang, vis
+        if cfg.scan_layers:
+            lang = self._scan(_MaskedScanBody, "lang_layers", lcfg,
+                              cfg.l_layers, lang, attention_mask,
+                              deterministic)
+            vis = self._scan(_MaskedScanBody, "vis_layers", lcfg,
+                             cfg.r_layers, vis, vis_mask, deterministic)
+            lang, vis = self._scan(_MaskedXScanBody, "x_layers", lcfg,
+                                   cfg.x_layers, (lang, vis), attention_mask,
+                                   vis_mask, deterministic)
+            return lang, vis
         for i in range(self.cfg.l_layers):
             lang = EncoderLayer(lcfg, name=f"lang_layer_{i}")(
                 lang, attention_mask, deterministic
