@@ -316,32 +316,44 @@ _sdpa_pallas.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
 # (b*lq*lk at h=12 -> 3.6e7 with heads folded in); Pallas wins 23-28% above
 # it (e.g. b=96 L=197: 1.71 vs 2.31 ms; b=64 L=256: 1.30 vs 1.80 ms).
 _AUTO_MIN_WORK = 3.6e7  # b*h*lq*lk
-# the whole-Lk kernel keeps an (h, lq, lk) f32 score block in VMEM; stay
-# well under the ~16 MB/core budget (with double-buffered operands).
-_AUTO_MAX_VMEM_BYTES = 8 * 1024 * 1024
+# Per-step scoped-VMEM budget for the BACKWARD kernel (the binding pair of
+# the custom VJP: if the bwd can't fit, auto must not pick pallas for the
+# fwd). The chip scopes kernel stack allocations to 16 MB; leave margin for
+# double-buffered streaming operands. Measured: at b=64 h=12 l=512 the
+# blocked bwd is rejected by the compiler with a 20.25 MB scoped allocation
+# ("Ran out of memory in memory space vmem", v5e, 2026-08-17) — the
+# estimator below puts that shape at ~15 MB resident + streaming, correctly
+# over budget.
+_AUTO_MAX_BWD_VMEM = 12 * 1024 * 1024
 
 
-def _auto_impl(b: int, h: int, lq: int, lk: int) -> str:
+def _bwd_vmem_bytes(h: int, lq: int, lk: int, d: int,
+                    itemsize: int = 2) -> int:
+    """Resident bytes per grid step of the backward kernel: the f32
+    score-shaped intermediates (p, dp, ds — `_bwd_kernel*`), the Q/dO/dQ
+    tiles, whole-Lk K/V, and the dK/dV accumulators (f32 across query tiles
+    in the blocked variant, attention.py:280-285)."""
+    blocked = lq > 2 * _Q_BLOCK
+    block_lq = _Q_BLOCK if blocked else lq
+    score = 3 * h * block_lq * lk * 4            # p, dp, ds (f32)
+    q_tiles = 3 * h * block_lq * d * itemsize     # q, do, dq
+    kv = 2 * h * lk * d * itemsize               # k, v
+    dkv = 2 * h * lk * d * (4 if blocked else itemsize)
+    return score + q_tiles + kv + dkv
+
+
+def _auto_impl(b: int, h: int, lq: int, lk: int, d: int = 64) -> str:
     if jax.default_backend() == "cpu":  # no Pallas TPU lowering on host
         return "jnp"
     work = b * h * lq * lk
-    # above 2 query blocks the Lq-tiled kernel caps the resident score
-    # block, so only the per-tile footprint must fit VMEM
-    block_lq = lq if lq <= 2 * _Q_BLOCK else _Q_BLOCK
-    score_bytes = h * block_lq * lk * 4
+    fits = _bwd_vmem_bytes(h, lq, lk, d) <= _AUTO_MAX_BWD_VMEM
     # Short-key cross-attention (LXMERT: 128 text queries over 36 ROI keys,
     # reference mm_early.py:121-129): the kernel beats XLA's lane-padded
     # softmax 8-14% at lk=36 for b in {8,16} (BASELINE.md round-3 cross
     # table), independent of the large-work crossover below.
-    if lk <= 48 and lq >= 64 and score_bytes <= _AUTO_MAX_VMEM_BYTES:
+    if lk <= 48 and lq >= 64 and fits:
         return "pallas"
-    # auto stays within the regime validated on this environment's remote
-    # compiler (lk <= 256: measured wins at b>=96 L=197 / b>=64 L=256; the
-    # blocked kernel compiles at longer lk for small b but the remote
-    # tpu_compile_helper is flaky there — pallas remains opt-in via
-    # --attn_impl pallas for those shapes)
-    if (work >= _AUTO_MIN_WORK and score_bytes <= _AUTO_MAX_VMEM_BYTES
-            and lk <= 256):
+    if work >= _AUTO_MIN_WORK and fits:
         return "pallas"
     return "jnp"
 
@@ -368,8 +380,8 @@ def sdpa(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        b, h, lq, _ = q.shape
-        impl = _auto_impl(b, h, lq, k.shape[2])
+        b, h, lq, d = q.shape
+        impl = _auto_impl(b, h, lq, k.shape[2], d)
     if impl == "jnp":
         return sdpa_reference(q, k, v, key_mask, scale)
     if key_mask is None:

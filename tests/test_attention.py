@@ -74,7 +74,7 @@ def test_auto_dispatch_rules():
     """auto resolves per shape from the measured v5e crossover; on the CPU
     test backend it must always resolve to jnp."""
     from socialmedia_textimage_classification_auxlosses_tpu.ops.attention import (
-        _AUTO_MAX_VMEM_BYTES, _AUTO_MIN_WORK, _auto_impl,
+        _AUTO_MAX_BWD_VMEM, _AUTO_MIN_WORK, _auto_impl, _bwd_vmem_bytes,
     )
     import jax
 
@@ -87,7 +87,13 @@ def test_auto_dispatch_rules():
     assert work(96, 12, 197, 197) >= _AUTO_MIN_WORK        # measured pallas win
     assert work(64, 12, 256, 256) >= _AUTO_MIN_WORK        # measured pallas win
     assert work(64, 12, 197, 197) < _AUTO_MIN_WORK         # measured XLA win
-    assert 12 * 512 * 512 * 4 > _AUTO_MAX_VMEM_BYTES       # long seq capped
+    # the backward-footprint guard: h=12 L=512 exceeds the scoped-VMEM
+    # budget (the compiler rejects that kernel with a 20.25 MB scoped
+    # allocation on the v5e — see _AUTO_MAX_BWD_VMEM); a 2-head model at
+    # the same length fits
+    assert _bwd_vmem_bytes(12, 512, 512, 64) > _AUTO_MAX_BWD_VMEM
+    assert _bwd_vmem_bytes(2, 512, 512, 64) <= _AUTO_MAX_BWD_VMEM
+    assert _bwd_vmem_bytes(12, 197, 197, 64) <= _AUTO_MAX_BWD_VMEM
 
     # short-key cross-attention rule (LXMERT lk=36: measured pallas win)
     from unittest import mock
@@ -97,6 +103,8 @@ def test_auto_dispatch_rules():
         assert _auto_impl(8, 12, 128, 128) == "jnp"        # paper text shape
         assert _auto_impl(8, 12, 32, 36) == "jnp"          # tiny lq: XLA
         assert _auto_impl(96, 12, 197, 197) == "pallas"    # crossover regime
+        assert _auto_impl(64, 12, 512, 512) == "jnp"       # bwd VMEM bound
+        assert _auto_impl(128, 2, 512, 512) == "pallas"    # fits at 2 heads
 
 
 def test_blocked_long_seq_forward_matches_reference(rng):
