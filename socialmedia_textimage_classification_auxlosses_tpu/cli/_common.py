@@ -156,7 +156,23 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                         help="override the model's input image size")
     parser.add_argument("--log_jsonl", type=str, default=None,
                         help="append structured per-step/epoch records to this JSONL file")
+    parser.add_argument("--img_decoder", type=str, default="pil",
+                        choices=["pil", "native"], action=_ImgDecoderAction,
+                        help="image ingest path: pil (reference-parity "
+                             "decode, default) or native (C++ libjpeg/libpng "
+                             "with DCT-scaled JPEG decode; faster cache "
+                             "builds, ~1 LSB resize deviation)")
     return parser
+
+
+class _ImgDecoderAction(argparse.Action):
+    """Publishes --img_decoder to the ingest layer at parse time: the decode
+    helpers (data/images.py) run deep inside cache builds and pipelines, so
+    the switch travels as SMTC_IMG_DECODER rather than threading args."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, values)
+        os.environ["SMTC_IMG_DECODER"] = values
 
 
 def seed_everything(seed: int, prng_impl: str = None):

@@ -17,6 +17,14 @@ from typing import Optional
 import numpy as np
 
 
+def _native_enabled() -> bool:
+    """Opt-in native C++ decode+resize (csrc/imgdec.cpp): JPEG rides libjpeg
+    DCT scaling so large photos never materialize at full resolution. Not
+    bit-identical to PIL full-decode+resize (deviation bounded in
+    tests/test_native_imgdec.py), hence opt-in via ``--img_decoder native``
+    (sets SMTC_IMG_DECODER)."""
+    return os.environ.get("SMTC_IMG_DECODER", "pil") == "native"
+
 
 def open_image(path_fmt: str, data_id, empty_image: Optional[str] = None,
                on_missing: str = "error"):
@@ -62,6 +70,19 @@ def load_pixels_u8(
     path_fmt: str, data_id, size: int = 224, empty_image: Optional[str] = None,
     center_crop_from: Optional[int] = None, on_missing: str = "error",
 ) -> np.ndarray:
+    if (_native_enabled() and empty_image is None
+            and center_crop_from is None):
+        from .native import native_decode_resize
+
+        # same jpg->png fallback order as open_image (reference
+        # datasets.py:164-167); the C++ decoder sniffs the actual format
+        for path in (path_fmt.format(data_id),
+                     path_fmt.replace("jpg", "png").format(data_id)):
+            if os.path.isfile(path):
+                px = native_decode_resize(path, size)
+                if px is not None:
+                    return px
+                break  # file exists but native decode failed -> PIL fallback
     return resize_to_u8(
         open_image(path_fmt, data_id, empty_image, on_missing),
         size=size, center_crop_from=center_crop_from,

@@ -222,6 +222,103 @@ class NativeFastBpe:
             pass
 
 
+# ---------------------------------------------------------------------------
+# Native image decoder (csrc/imgdec.cpp): JPEG/PNG decode + PIL-convention
+# triangle resize in one C++ call, with libjpeg DCT scaling on downscale.
+# Separate shared object because it links -ljpeg -lpng; if those dev libs are
+# absent the build fails quietly and callers keep the PIL path.
+# ---------------------------------------------------------------------------
+
+_IMGDEC_LIB_PATH = os.path.join(_CSRC, "libsmtc_imgdec.so")
+_imgdec_lib = None
+_imgdec_failed = False
+
+
+def _build_imgdec() -> bool:
+    src = os.path.join(_CSRC, "imgdec.cpp")
+    if not os.path.isfile(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+             "-o", _IMGDEC_LIB_PATH, "-ljpeg", "-lpng"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain or libjpeg/libpng headers missing
+        logger.info("native imgdec build failed (%s); using PIL path", e)
+        return False
+
+
+def get_imgdec_lib() -> Optional[ctypes.CDLL]:
+    global _imgdec_lib, _imgdec_failed
+    if _imgdec_lib is not None:
+        return _imgdec_lib
+    if _imgdec_failed:
+        return None
+    src = os.path.join(_CSRC, "imgdec.cpp")
+    if not os.path.isfile(_IMGDEC_LIB_PATH) or (
+        os.path.isfile(src)
+        and os.path.getmtime(src) > os.path.getmtime(_IMGDEC_LIB_PATH)
+    ):
+        if not _build_imgdec():
+            _imgdec_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_IMGDEC_LIB_PATH)
+    except OSError:
+        _imgdec_failed = True
+        return None
+    lib.smtc_decode_resize.restype = ctypes.c_int
+    lib.smtc_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.smtc_decode_full.restype = ctypes.c_int
+    lib.smtc_decode_full.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _imgdec_lib = lib
+    return _imgdec_lib
+
+
+def imgdec_available() -> bool:
+    return get_imgdec_lib() is not None
+
+
+def native_decode_resize(path: str, size: int) -> Optional[np.ndarray]:
+    """Decode (JPEG/PNG sniffed by signature) + resize to (size, size, 3)
+    uint8. None on any failure — the caller falls back to PIL."""
+    lib = get_imgdec_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.smtc_decode_resize(
+        os.fsencode(path), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def native_decode_full(path: str,
+                       max_pixels: int = 64 << 20) -> Optional[np.ndarray]:
+    """Full-scale decode to (h, w, 3) uint8 (parity tests)."""
+    lib = get_imgdec_lib()
+    if lib is None:
+        return None
+    cap = max_pixels * 3
+    buf = np.empty(cap, np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.smtc_decode_full(
+        os.fsencode(path),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
 class NativeWordPiece:
     """C++ WordPiece encoder over a BERT-layout vocab.txt."""
 
