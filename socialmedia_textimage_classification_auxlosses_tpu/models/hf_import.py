@@ -648,3 +648,28 @@ def maybe_import_resnet(variables: dict, weight_path: str, model_name: str,
     variables = merge_tower(variables, trees["batch_stats"],
                             path=("batch_stats",) + tuple(sub))
     return variables
+
+
+def maybe_import_mmbt(variables: dict, model_dir: str, num_layers: int,
+                      cnn_weight_path: str = None,
+                      cnn_name: str = "resnet152",
+                      scan: bool = False) -> dict:
+    """Graft pretrained weights into an initialised MmbtClassifier tree
+    (models/mmbt.py): BERT encoder/embeddings/pooler from ``model_dir`` and
+    (optionally) a torchvision ResNet trunk from ``cnn_weight_path``. The
+    word table moves to the backbone level ("word") because the joint
+    sequence embeds through it explicitly; ``img_proj`` and the heads stay
+    freshly initialised (no pretrained counterpart)."""
+    state = load_state_dict(model_dir)
+    if state is not None:
+        tree = import_bert_tower(state, num_layers)
+        word = tree["embeddings"].pop("word")
+        if scan:
+            tree = stack_scan_layers(tree, num_layers)
+        tree["word"] = word
+        variables = merge_tower(variables, tree, path=("params", "backbone"))
+    if cnn_weight_path:
+        variables = maybe_import_resnet(
+            variables, cnn_weight_path, cnn_name,
+            path=("params", "backbone", "cnn"))
+    return variables

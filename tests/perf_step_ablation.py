@@ -91,6 +91,31 @@ def build(variant, steps, seq_len=128):
                      "lazy_emb": init_lazy_state(params, lazy_cfg)}
     many = make_train_many(forward_fn, loss_cfg, tx,
                            class_weights=jnp.ones(4), lazy_emb_cfg=lazy_cfg)
+    if variant == "fwd_only":
+        # forward + loss only (no grad, no update): bounds the backward +
+        # optimizer share of the step from below
+        from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+            _maybe_tim, assemble_loss,
+        )
+
+        @jax.jit
+        def fwd_many(p, _opt, stacked_batches, key, step0):
+            def body(carry, xs):
+                b, i = xs
+                rng = jax.random.fold_in(key, step0 + i)
+                rng_drop, rng_itm = jax.random.split(rng)
+                tim_inputs, tim_labels = _maybe_tim(loss_cfg, rng_itm, b)
+                outputs = forward_fn(p, b, tim_inputs, rng_drop, False)
+                total, _parts = assemble_loss(loss_cfg, outputs, b,
+                                              tim_labels, jnp.ones(4))
+                return carry, total
+
+            n = stacked_batches["ids"].shape[0]
+            _, losses = jax.lax.scan(body, 0,
+                                     (stacked_batches, jnp.arange(n)))
+            return p, _opt, {"loss": losses[-1]}
+
+        many = fwd_many
     stacked = {k: jnp.stack([v] * steps) for k, v in batch.items()}
     return many, params, opt_state, stacked
 
