@@ -123,6 +123,76 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
                                   image_size=geo["image_size"],
                                   seq_buckets=seq_buckets_from(args))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
+    elif model_name == "mmbt":
+        from ..models.mmbt import MmbtClassifier, init_mmbt_params
+
+        scan = getattr(args, "scan_layers", False)
+        enc_cfg = EncoderConfig(
+            vocab_size=vocab, hidden=hidden, layers=layers, heads=heads,
+            mlp_dim=mlp_dim,
+            max_positions=hf.get("max_position_embeddings", 512),
+            type_vocab=hf.get("type_vocab_size", 2), ln_style="post",
+            dropout=hf.get("hidden_dropout_prob", 0.1),
+            dtype=args.dtype, attn_impl=args.attn_impl,
+            remat=getattr(args, "remat", False), scan_layers=scan,
+        )
+        mesh_plan, pp = _maybe_pp(args, cfg, {"scan_layers": scan})
+        if pp is not None:
+            # the joint encoder is a TransformerStack like ViLT's — the
+            # GPipe runner plugs into its config directly
+            from ..parallel.pp_text import with_pp_runner
+
+            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro)
+        cnn_name = "resnet50" if args.arch != "base" else "resnet152"
+        image_size = args.image_size or (64 if args.arch != "base" else 224)
+        model = MmbtClassifier(enc_cfg, cfg.num_labels, cnn_name=cnn_name,
+                               dropout=cfg.dropout)
+        L = cfg.max_length
+        ids0 = jnp.zeros((2, L), jnp.int32)
+        mask0 = jnp.ones((2, L), jnp.int32)
+        px0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+        params = init_mmbt_params(model, jax.random.PRNGKey(args.seed),
+                                  ids0, mask0, px0)
+        from ..models import hf_import as H
+
+        params = H.maybe_import_mmbt(
+            params, model_dir, layers,
+            cnn_weight_path=C.MODEL_DIR_DICT.get(cnn_name),
+            cnn_name=cnn_name, scan=scan)
+        mean, std = IMAGE_NORM["mm_cnn"]
+        dtype = jnp.dtype(args.dtype)
+
+        def forward_fn(p, batch, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            pixels = normalize_on_device(batch["pixel_values"], mean, std,
+                                         dtype)
+            tim_kw = {}
+            if tim_inputs is not None:
+                tim_kw = {"tim_ids": tim_inputs["ids"],
+                          "tim_mask": tim_inputs["mask"]}
+            if deterministic:
+                return model.apply(p, batch["ids"], batch["mask"], pixels,
+                                   deterministic=True, **tim_kw)
+            out, upd = model.apply(p, batch["ids"], batch["mask"], pixels,
+                                   deterministic=False, train=True,
+                                   rngs=rngs, mutable=["batch_stats"],
+                                   **tim_kw)
+            out["batch_stats"] = upd["batch_stats"]
+            return out
+
+        def image_source_fn(split):
+            return make_image_source(
+                cfg.img_fmt, ids=split.ids, size=image_size,
+                use_cache=getattr(args, "use_saved_features", False),
+                cache_dir=f"{C.DATA_PATH}cache/{cfg.task_name}_mmbt_u8_{image_size}",
+            )
+
+        pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
+                                  max_length=cfg.max_length,
+                                  image_size=image_size,
+                                  seq_buckets=seq_buckets_from(args))
+        pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn,
+                            pipe_cfg)
     else:  # lxmert
         from ..parallel.pp_lxmert import lxmert_stack_pred
 
@@ -185,12 +255,18 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg,
                             roi_cache=roi_cache)
 
+    if model_name == "mmbt":
+        from ..train.optim import batch_stats_predicate
+
+        frozen_pred = batch_stats_predicate  # BN stats never decay
+    else:
+        frozen_pred = None
     return _finish(
         dict(model=model, params=params, forward_fn=forward_fn,
              loss_cfg=_loss_cfg_from(cfg),
              class_weights=None if weights is None else jnp.asarray(weights),
              tokenizer=tokenizer, mesh_plan=mesh_plan, pipes=pipes),
-        args, cfg,
+        args, cfg, frozen_pred=frozen_pred,
     )
 
 

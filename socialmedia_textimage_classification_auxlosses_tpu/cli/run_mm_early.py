@@ -23,8 +23,11 @@ logger = get_logger(__name__)
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="run early fusion models")
-    parser.add_argument("--model", type=str, choices=["vilt", "lxmert"],
-                        help="model name")
+    parser.add_argument("--model", type=str,
+                        choices=["vilt", "lxmert", "mmbt"],
+                        help="model name (mmbt: the reference declares its "
+                             "dataset + results dir but ships no model — "
+                             "completed per the paper, models/mmbt.py)")
     parser.add_argument("--evaltest", action="store_true", help="eval test")
     parser.add_argument("--import_reference_ckpt", type=str, default=None,
                         help="path to a reference-trained ViLT/Lxmert wrapper "
@@ -36,8 +39,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     seed_everything(args.seed, getattr(args, "prng_impl", None))
-    results_dir = results_dir_for(C.results_dir_mm_early, args.testing)
     model_name = args.model
+    # MMBT artifacts land in the reference's dedicated directory
+    # (results_dir_mmbt, reference config.py:135)
+    results_dir = results_dir_for(
+        C.results_dir_mmbt if model_name == "mmbt" else C.results_dir_mm_early,
+        args.testing)
     logger.info(
         "Model: %s, Task: %s, Epochs: %s, ITC loss: %s, TIM loss: %s, "
         "beta_itc: %s, beta_itm: %s, seed: %s",
@@ -49,6 +56,10 @@ def main(argv=None):
     setup = build_mm_early_setup(args, cfg)
 
     if args.import_reference_ckpt:
+        if model_name == "mmbt":
+            raise SystemExit("--import_reference_ckpt: the reference ships "
+                             "no MMBT model, so no reference checkpoint "
+                             "format exists for it")
         from ..models import hf_import as Himp
 
         state = Himp.load_torch_file(args.import_reference_ckpt)

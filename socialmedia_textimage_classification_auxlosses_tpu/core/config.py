@@ -120,6 +120,9 @@ MODEL_DIR_DICT = {
     "beit": os.environ.get("SMTC_BEIT_DIR", DATA_PATH + "hub/BEiT/"),                # microsoft/beit-base-patch16-224-pt22k-ft22k
     "deit": os.environ.get("SMTC_DEIT_DIR", DATA_PATH + "hub/DEiT/"),                # facebook/deit-base-distilled-patch16-224
     "vilt": os.environ.get("SMTC_VILT_DIR", DATA_PATH + "hub/ViLT/"),                # dandelin/vilt-b32-mlm
+    # MMBT has no pretrained fusion checkpoint — its joint encoder loads
+    # bert-base-uncased + a torchvision ResNet trunk (models/mmbt.py)
+    "mmbt": os.environ.get("SMTC_MMBT_DIR", DATA_PATH + "hub/BERT-base/"),
     "lxmert": os.environ.get("SMTC_LXMERT_DIR", DATA_PATH + "hub/LXMERT/"),          # unc-nlp/lxmert-base-uncased
     "frcnn": os.environ.get("SMTC_FRCNN_DIR", DATA_PATH + "hub/FRCNN/"),             # unc-nlp/frcnn-vg-finetuned
     "resnet50": os.environ.get("SMTC_RESNET50_DIR", DATA_PATH + "hub/ConvModels/resnet50.npz"),

@@ -49,7 +49,7 @@ def patch_task(monkeypatch, C, task, csv_path, img_fmt, results_root):
     monkeypatch.setitem(C.PATH, task, csv_path)
     monkeypatch.setitem(C.IMG_FMT, task, img_fmt)
     for attr in ("results_dir_txt", "results_dir_img", "results_dir_mm_late",
-                 "results_dir_mm_early"):
+                 "results_dir_mm_early", "results_dir_mmbt"):
         monkeypatch.setattr(C, attr, str(results_root) + f"/{attr}/")
     monkeypatch.setattr(C, "DATA_PATH", str(results_root) + "/data/")
 
