@@ -231,6 +231,85 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     return best, float(np.ravel(np.asarray(metrics["loss"]))[-1]), flops
 
 
+def measure_eval(steps: int = 20, batch: int = BATCH,
+                 dtype: str = "bfloat16", attn_impl: str = "auto",
+                 cache_vision: bool = True, steps_per_dispatch: int = 10,
+                 prng_impl: str = "rbg"):
+    """Inference/serving throughput: the full eval step (deterministic
+    forward incl. exact TIM activation reuse + losses + on-device confusion
+    accumulation) under the scanned K-step eval dispatch — the
+    compute_predictions / evaluate serving path (train/steps.make_eval_many,
+    reference mm_late.py:534-638)."""
+    import jax
+    import jax.numpy as jnp
+
+    enable_compile_cache()
+    jax.config.update("jax_default_prng_impl",
+                      {"threefry": "threefry2x32"}.get(prng_impl, prng_impl))
+
+    import __graft_entry__ as G
+    from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+        LossConfig, make_eval_many,
+    )
+
+    model, params, batch_d = G._flagship(arch="base", dtype=dtype,
+                                         attn_impl=attn_impl, batch=batch,
+                                         seq_len=SEQ, image_size=IMG,
+                                         num_labels=NUM_LABELS)
+    if cache_vision:
+        from socialmedia_textimage_classification_auxlosses_tpu.models.fusion import (
+            MMLateModel,
+        )
+
+        vh, vp = jax.jit(lambda p, px: model.apply(
+            p, px, deterministic=True, method=MMLateModel.encode_vision))(
+                params, batch_d["pixel_values"])
+        batch_d = {**batch_d, "vision_hidden": vh, "vision_pooled": vp}
+        del batch_d["pixel_values"]
+
+    def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+        # eval: TIM activation reuse is EXACT (deterministic towers), always on
+        tim_kw = ({} if tim_inputs is None
+                  else {"tim_src": tim_inputs["src"]})
+        return model.apply(
+            p, b["ids"], b["mask"], b.get("pixel_values"),
+            deterministic=True,
+            vision_hidden=b.get("vision_hidden"),
+            vision_pooled=b.get("vision_pooled"),
+            **tim_kw,
+        )
+
+    loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
+                          use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
+    emany = make_eval_many(forward_fn, loss_cfg,
+                           class_weights=jnp.ones(NUM_LABELS))
+    k = max(1, steps_per_dispatch)
+    n_chunks = max(1, -(-steps // k))
+    steps = n_chunks * k
+    stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+    key = jax.random.PRNGKey(0)
+    outs = emany(params, stacked, key, 0)
+    jax.block_until_ready(outs["loss"])
+    reps = max(3, 60 // max(steps, 1))
+    best = 0.0
+    for r in range(reps):
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            outs = emany(params, stacked, key, (r * n_chunks + c) * k)
+        jax.block_until_ready(outs["loss"])
+        dt = time.perf_counter() - t0
+        print(f"# eval rep {r}: {steps / dt * batch:.1f} posts/s",
+              file=sys.stderr)
+        best = max(best, steps / dt)
+    flops = 0.0
+    try:
+        flops = step_cost_analysis(
+            emany.lower(params, stacked, key, 0).compile())
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return best, float(np.ravel(np.asarray(outs["loss"]))[-1]), flops
+
+
 def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                    dtype: str = "bfloat16", attn_impl: str = "auto",
                    steps_per_dispatch: int = 10, prng_impl: str = "rbg"):
@@ -320,12 +399,57 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                 tim_token_type_ids=(None if tim_inputs is None
                                     else tim_inputs["token_type_ids"]),
                 deterministic=deterministic, rngs=rngs)
+    elif model_name == "mmbt":
+        # bert-base joint encoder over resnet152 region tokens @ 224
+        # (models/mmbt.py; the family the reference's MMBT_Dataset feeds)
+        from socialmedia_textimage_classification_auxlosses_tpu.models.mmbt import (
+            MmbtClassifier, init_mmbt_params,
+        )
+
+        cfg = EncoderConfig(vocab_size=30522, hidden=768, layers=12, heads=12,
+                            mlp_dim=3072, max_positions=512, type_vocab=2,
+                            ln_style="post", dropout=0.1, dtype=dtype,
+                            attn_impl=attn_impl)
+        model = MmbtClassifier(cfg, NUM_LABELS, cnn_name="resnet152",
+                               dropout=0.05)
+        seq = SEQ
+        ids = jnp.asarray(rng.randint(4, 30522, (batch, seq)), jnp.int32)
+        mask = jnp.ones((batch, seq), jnp.int32)
+        px = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
+        params = init_mmbt_params(model, jax.random.PRNGKey(0), ids[:2],
+                                  mask[:2], px[:2])
+        batch_d = {"ids": ids, "mask": mask, "pixel_values": px,
+                   "labels": labels, "valid": valid}
+
+        def forward_fn(p, b, tim_inputs, dropout_rng, deterministic):
+            rngs = None if deterministic else {"dropout": dropout_rng}
+            tim_kw = {}
+            if tim_inputs is not None:
+                tim_kw = {"tim_ids": tim_inputs["ids"],
+                          "tim_mask": tim_inputs["mask"]}
+            if deterministic:
+                return model.apply(p, b["ids"], b["mask"],
+                                   b["pixel_values"], deterministic=True,
+                                   **tim_kw)
+            out, upd = model.apply(p, b["ids"], b["mask"], b["pixel_values"],
+                                   deterministic=False, train=True,
+                                   rngs=rngs, mutable=["batch_stats"],
+                                   **tim_kw)
+            out["batch_stats"] = upd["batch_stats"]
+            return out
     else:
         raise ValueError(model_name)
 
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
                           use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
-    tx = make_optimizer(1e-5, 2.5e-4)
+    if model_name == "mmbt":
+        from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
+            batch_stats_predicate,
+        )
+
+        tx = make_optimizer(1e-5, 2.5e-4, batch_stats_predicate)
+    else:
+        tx = make_optimizer(1e-5, 2.5e-4)
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(0)
     k = max(1, steps_per_dispatch)
@@ -474,10 +598,10 @@ def main():
                             "SMTC_BENCH_MOMENTS", "f32"),
                         choices=["f32", "bf16"])
     parser.add_argument("--model", default="mm_late",
-                        choices=["mm_late", "vilt", "lxmert"],
+                        choices=["mm_late", "vilt", "lxmert", "mmbt"],
                         help="mm_late = the graded flagship metric; "
-                             "vilt/lxmert bench the early-fusion families "
-                             "(BASELINE.md tables)")
+                             "vilt/lxmert/mmbt bench the early-fusion "
+                             "families (BASELINE.md tables)")
     parser.add_argument("--opt_kernel", default=os.environ.get(
                             "SMTC_BENCH_OPT_KERNEL", "fused"),
                         choices=["fused", "optax"],
@@ -489,7 +613,32 @@ def main():
                              "(NOT the graded default — shares tower "
                              "dropout masks between the primary and TIM "
                              "passes, a documented deviation)")
+    parser.add_argument("--phase", default="train",
+                        choices=["train", "eval"],
+                        help="eval = the serving path (deterministic eval "
+                             "step with exact TIM reuse, scanned dispatch)")
     args = parser.parse_args()
+
+    if args.phase == "eval":
+        import jax
+
+        steps_per_sec, loss, flops = measure_eval(
+            steps=args.steps, batch=args.batch, attn_impl=args.attn_impl,
+            cache_vision=args.cache_vision,
+            steps_per_dispatch=args.steps_per_dispatch,
+            prng_impl=args.prng_impl)
+        posts = steps_per_sec * args.batch
+        peak = peak_flops_of(jax.devices()[0])
+        print(json.dumps({
+            "metric": f"posts/sec/chip (flagship EVAL/serving path, "
+                      f"batch {args.batch})",
+            "value": round(posts, 2),
+            "unit": "posts/sec",
+            "model_flops_per_step": flops,
+            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
+                    else None),
+        }))
+        return
 
     if args.model != "mm_late":
         import jax

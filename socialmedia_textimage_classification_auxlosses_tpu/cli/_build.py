@@ -70,6 +70,7 @@ def make_mesh(args) -> MeshPlan:
 class _PP:
     mesh: object
     num_micro: int
+    num_levels: int = 1
 
 
 def _maybe_pp(args, cfg, overrides, stack_pred=None):
@@ -94,9 +95,16 @@ def _maybe_pp(args, cfg, overrides, stack_pred=None):
     local_rows = max(1, cfg.batch_size // pp_mesh.shape["data"])
     num_micro = (int(getattr(args, "pp_microbatches", 0) or 0)
                  or min(4, local_rows))
-    logger.info("pipeline parallelism: pipe=%d data=%d microbatches=%d",
-                mesh_pipe, pp_mesh.shape["data"], num_micro)
-    return PipeMeshPlan(pp_mesh, stack_pred=stack_pred), _PP(pp_mesh, num_micro)
+    num_levels = int(getattr(args, "pp_interleave", 1) or 1)
+    if num_levels > 1 and num_micro < mesh_pipe:
+        raise SystemExit(
+            f"--pp_interleave needs microbatches >= stages "
+            f"({num_micro} < {mesh_pipe}); raise --pp_microbatches")
+    logger.info("pipeline parallelism: pipe=%d data=%d microbatches=%d "
+                "interleave=%d",
+                mesh_pipe, pp_mesh.shape["data"], num_micro, num_levels)
+    return (PipeMeshPlan(pp_mesh, stack_pred=stack_pred),
+            _PP(pp_mesh, num_micro, num_levels))
 
 
 def _loss_cfg_from(cfg: C.Config) -> LossConfig:
@@ -407,7 +415,7 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
         from ..models.text import TextClassifier
 
         model = TextClassifier(
-            with_pp_runner(model.cfg, pp.mesh, pp.num_micro),
+            with_pp_runner(model.cfg, pp.mesh, pp.num_micro, pp.num_levels),
             model.num_labels, head_dropout=model.head_dropout,
             use_pooled=model.use_pooled,
         )
@@ -469,7 +477,7 @@ def build_image_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         from ..parallel.pp_text import with_pp_runner
 
         model = dataclasses.replace(
-            model, cfg=with_pp_runner(model.cfg, pp.mesh, pp.num_micro))
+            model, cfg=with_pp_runner(model.cfg, pp.mesh, pp.num_micro, pp.num_levels))
 
     if data_splits is None:
         rng = np.random.RandomState(args.seed)
@@ -608,7 +616,7 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
         from ..parallel.pp_text import with_pp_runner
 
         model = MMLateModel(
-            with_pp_runner(text_cfg, pp.mesh, pp.num_micro), vis_cfg,
+            with_pp_runner(text_cfg, pp.mesh, pp.num_micro, pp.num_levels), vis_cfg,
             cfg.num_labels, fusion_name=args.fusion_name,
             dropout=cfg.dropout, patch=geo["patch"], image_size=image_size,
             num_prefix_tokens=geo["num_prefix_tokens"],

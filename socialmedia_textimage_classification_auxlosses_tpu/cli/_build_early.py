@@ -84,7 +84,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             # plugs straight into its config (parallel/pp_text.py)
             from ..parallel.pp_text import with_pp_runner
 
-            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro)
+            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro, pp.num_levels)
         model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
                                image_size=geo["image_size"], dropout=cfg.dropout)
         L = cfg.max_length
@@ -142,7 +142,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             # GPipe runner plugs into its config directly
             from ..parallel.pp_text import with_pp_runner
 
-            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro)
+            enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro, pp.num_levels)
         cnn_name = "resnet50" if args.arch != "base" else "resnet152"
         image_size = args.image_size or (64 if args.arch != "base" else 224)
         model = MmbtClassifier(enc_cfg, cfg.num_labels, cnn_name=cnn_name,

@@ -100,6 +100,13 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     parser.add_argument("--pp_microbatches", type=int, default=0,
                         help="microbatches per pipeline step (default "
                              "min(4, batch))")
+    parser.add_argument("--pp_interleave", type=int, default=1,
+                        help="interleaved pipeline levels (circular "
+                             "schedule): each stage holds this many "
+                             "non-adjacent layer chunks, cutting the GPipe "
+                             "bubble by ~the same factor; needs "
+                             "microbatches >= stages and layers divisible "
+                             "by stages x levels")
     parser.add_argument("--bucket_seq", type=str, nargs="?", const="32,64,96",
                         default=None, metavar="L1,L2,..",
                         help="sequence-length bucketing: slice each batch's "

@@ -69,6 +69,137 @@ def _stage_apply(layer_fn: Callable, local_params, x, key_mask, rng,
     return out
 
 
+def interleave_layer_order(n_layers: int, nstages: int, num_levels: int):
+    """Layer permutation for the interleaved schedule: stage ``s`` must hold
+    the chunks {level*S + s for every level} contiguously in its local shard
+    (level-major within the stage). ``perm[i]`` = which sequential layer sits
+    at stacked position ``i`` after interleaving."""
+    npl = n_layers // (nstages * num_levels)
+    perm = []
+    for s in range(nstages):
+        for l in range(num_levels):
+            c = l * nstages + s
+            perm.extend(range(c * npl, (c + 1) * npl))
+    return np.asarray(perm, np.int32)
+
+
+def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
+                                num_microbatches: int, num_levels: int,
+                                axis_name: str):
+    """Circular (interleaved) pipeline for one device's shard — the
+    scaling-book bubble reducer: each stage holds ``num_levels``
+    non-adjacent layer chunks and every microbatch loops through the ring
+    ``num_levels`` times, so the bubble shrinks from (S-1)/(M+S-1) to
+    (S-1)/(vM+S-1) per unit of work. Wrapped activations (stage S-1 ->
+    stage 0 between levels) ride the SAME ppermute hop the plain schedule
+    uses — stage 0 banks them until their next-level slot comes up, which
+    needs ``num_microbatches >= nstages`` (write-before-read in the bank).
+
+    Local params: leading axis = num_levels * layers_per_chunk, level-major
+    (see interleave_layer_order). Requires rng=None or a key; dropout keys
+    fold the SEQUENTIAL global layer index so trajectories match the
+    non-interleaved pipeline exactly."""
+    s = jax.lax.axis_index(axis_name)
+    nstages = jax.lax.psum(1, axis_name)
+    m = num_microbatches
+    v = num_levels
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    mb = b // m
+    micro = x.reshape(m, mb, *x.shape[1:])
+    mask_micro = key_mask.reshape(m, mb, *key_mask.shape[1:])
+    n_local = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if n_local % v:
+        raise ValueError(f"{n_local} local layers not divisible by "
+                         f"{v} interleave levels")
+    npl = n_local // v
+    # (v, npl, ...) level-major chunks
+    chunks = jax.tree_util.tree_map(
+        lambda p: p.reshape((v, npl) + p.shape[1:]), stacked_params)
+
+    fwd_perm = [(i, (i + 1) % nstages) for i in range(nstages)]
+    nticks = v * m + nstages - 1
+
+    def tick(carry, t):
+        act, act_mask, outputs, wrap = carry
+        # the activation arriving via rotation is stage S-1's output for
+        # item t - S; stage 0 banks it for its next level (write BEFORE the
+        # read below so m == S stays correct)
+        wslot = jnp.clip(t - nstages, 0, v * m - 1) % m
+        do_wrap = jnp.logical_and(s == 0, t >= nstages)
+        wrap = jax.lax.cond(
+            do_wrap,
+            lambda w: jax.lax.dynamic_update_slice(
+                w, act[None].astype(w.dtype),
+                (wslot,) + (0,) * act.ndim),
+            lambda w: w,
+            wrap,
+        )
+        # stage s processes item j = t - s at level j // m
+        j = jnp.clip(t - s, 0, v * m - 1)
+        level = j // m
+        t0 = j % m
+        inp0 = jnp.where(level == 0, micro[t0], wrap[t0])
+        inp = jnp.where(s == 0, inp0, act)
+        km = jnp.where(s == 0, mask_micro[t0], act_mask)
+        chunk = jax.tree_util.tree_map(
+            lambda c: jax.lax.dynamic_index_in_dim(c, level, 0,
+                                                   keepdims=False), chunks)
+        # sequential global layer offset of (level, stage) chunk
+        offset = (level * nstages + s) * npl
+        out = _chunk_apply(layer_fn, chunk, inp, km, rng, offset)
+        # the last stage banks final-level items
+        jj = t - (nstages - 1)
+        bank = jnp.logical_and(s == nstages - 1,
+                               jnp.logical_and(jj >= (v - 1) * m,
+                                               jj < v * m))
+        oslot = jnp.clip(jj - (v - 1) * m, 0, m - 1)
+        outputs = jax.lax.cond(
+            bank,
+            lambda o: jax.lax.dynamic_update_slice(
+                o, out[None].astype(o.dtype),
+                (oslot,) + (0,) * out.ndim),
+            lambda o: o,
+            outputs,
+        )
+        act_next = jax.lax.ppermute(out, axis_name, fwd_perm)
+        mask_next = jax.lax.ppermute(km, axis_name, fwd_perm)
+        return (act_next, mask_next, outputs, wrap), None
+
+    act0 = jnp.zeros((mb,) + x.shape[1:], x.dtype)
+    mask0 = jnp.zeros((mb,) + key_mask.shape[1:], key_mask.dtype)
+    out0 = jnp.zeros((m, mb) + x.shape[1:], x.dtype)
+    wrap0 = jnp.zeros((m, mb) + x.shape[1:], x.dtype)
+    (_, _, outputs, _), _ = jax.lax.scan(
+        tick, (act0, mask0, out0, wrap0), jnp.arange(nticks))
+    outputs = jax.lax.psum(
+        jnp.where(s == nstages - 1, outputs, jnp.zeros_like(outputs)),
+        axis_name,
+    )
+    return outputs.reshape(b, *x.shape[1:])
+
+
+def _chunk_apply(layer_fn, chunk_params, x, key_mask, rng, global_offset):
+    """Apply one contiguous chunk of layers; dropout keys fold the
+    SEQUENTIAL global layer index (global_offset + position)."""
+    n = jax.tree_util.tree_leaves(chunk_params)[0].shape[0]
+    if rng is None:
+        def body(h, p_one):
+            return layer_fn(p_one, h, key_mask, None), None
+
+        out, _ = jax.lax.scan(body, x, chunk_params)
+        return out
+
+    def body(h, xs):
+        p_one, i = xs
+        r = jax.random.fold_in(rng, global_offset + i)
+        return layer_fn(p_one, h, key_mask, r), None
+
+    out, _ = jax.lax.scan(body, x, (chunk_params, jnp.arange(n)))
+    return out
+
+
 def pipeline_apply(layer_fn, stacked_params, x, key_mask, rng=None, *,
                    num_microbatches: int, axis_name: str = "pipe"):
     """GPipe forward for one device's shard — call INSIDE shard_map.
@@ -139,6 +270,7 @@ def make_pipelined_stack(
     num_microbatches: int,
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = "data",
+    num_levels: int = 1,
 ):
     """shard_map-wrapped pipelined layer stack.
 
@@ -146,25 +278,52 @@ def make_pipelined_stack(
     ``stacked_params`` leaves carry a leading layer axis (sharded over
     ``pipe_axis``), ``x`` is ``(B, T, H)`` (rows shardable over
     ``data_axis``), and the output matches the sequential stack.
+
+    ``num_levels > 1`` runs the interleaved (circular) schedule: each stage
+    holds ``num_levels`` non-adjacent layer chunks and microbatches loop the
+    ring, cutting the bubble by ~``num_levels``. The stacked layer axis is
+    re-ordered here (``interleave_layer_order``) so the result still matches
+    the sequential stack; at CLI scale this per-step gather is negligible —
+    at pod scale pre-permute the params once at sharding time instead.
+    Requires ``num_microbatches >= nstages``.
     """
     nstages = mesh.shape[pipe_axis]
     dspec = data_axis if (data_axis and data_axis in mesh.shape) else None
 
     param_specs = P(pipe_axis)  # leading layer axis sharded over stages
     x_spec = P(dspec)           # rows over data, replicated over pipe
+    if num_levels > 1 and num_microbatches < nstages:
+        raise ValueError(
+            f"interleaved pipeline needs microbatches >= stages "
+            f"({num_microbatches} < {nstages}): the wrap bank at stage 0 "
+            "must be written before its next-level read")
+
+    def _apply(stacked_params, x, key_mask, rng):
+        if num_levels > 1:
+            return _interleaved_pipeline_apply(
+                layer_fn, stacked_params, x, key_mask, rng,
+                num_microbatches=num_microbatches, num_levels=num_levels,
+                axis_name=pipe_axis)
+        return pipeline_apply(
+            layer_fn, stacked_params, x, key_mask, rng,
+            num_microbatches=num_microbatches, axis_name=pipe_axis)
 
     def run(stacked_params, x, key_mask=None, rng=None):
         n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-        if n_layers % nstages:
+        if n_layers % (nstages * num_levels):
             raise ValueError(
-                f"{n_layers} layers not divisible by {nstages} pipeline stages")
+                f"{n_layers} layers not divisible by {nstages} pipeline "
+                f"stages x {num_levels} interleave levels")
+        if num_levels > 1:
+            perm = jnp.asarray(
+                interleave_layer_order(n_layers, nstages, num_levels))
+            stacked_params = jax.tree_util.tree_map(
+                lambda p: jnp.take(p, perm, axis=0), stacked_params)
         if key_mask is None:
             key_mask = jnp.ones(x.shape[:2], jnp.int32)
         if rng is None:
             def inner(stacked_params, x, key_mask):
-                return pipeline_apply(
-                    layer_fn, stacked_params, x, key_mask, None,
-                    num_microbatches=num_microbatches, axis_name=pipe_axis)
+                return _apply(stacked_params, x, key_mask, None)
 
             f = shard_map(
                 inner, mesh=mesh,
@@ -177,9 +336,7 @@ def make_pipelined_stack(
             return f(stacked_params, x, key_mask)
 
         def inner_rng(stacked_params, x, key_mask, rng):
-            return pipeline_apply(
-                layer_fn, stacked_params, x, key_mask, rng,
-                num_microbatches=num_microbatches, axis_name=pipe_axis)
+            return _apply(stacked_params, x, key_mask, rng)
 
         f = shard_map(
             inner_rng, mesh=mesh,

@@ -27,7 +27,8 @@ from ..models.encoder import EncoderLayer
 from .pipeline import make_pipelined_stack
 
 
-def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int) -> Callable:
+def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int,
+                      num_levels: int = 1) -> Callable:
     """Runner ``(stacked_params, x, key_mask, rng) -> hidden`` for
     ``EncoderConfig.pp_runner``. ``cfg``: the encoder config WITHOUT the
     runner set (the layer math must match the sequential stack)."""
@@ -41,7 +42,8 @@ def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int) -> Callable:
                                        rngs=rngs)
 
     run = make_pipelined_stack(layer_fn, mesh,
-                               num_microbatches=num_microbatches)
+                               num_microbatches=num_microbatches,
+                               num_levels=num_levels)
 
     def runner(stacked, x, key_mask, rng):
         return run(stacked, x, key_mask, rng=rng)
@@ -49,10 +51,12 @@ def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int) -> Callable:
     return runner
 
 
-def with_pp_runner(cfg, mesh: Mesh, num_microbatches: int):
+def with_pp_runner(cfg, mesh: Mesh, num_microbatches: int,
+                   num_levels: int = 1):
     """cfg -> cfg with pp_runner installed (runner built from the plain cfg
-    so layer math is identical)."""
-    runner = make_stack_runner(cfg, mesh, num_microbatches)
+    so layer math is identical). ``num_levels > 1`` = interleaved schedule
+    (parallel/pipeline.py)."""
+    runner = make_stack_runner(cfg, mesh, num_microbatches, num_levels)
     return dataclasses.replace(cfg, pp_runner=runner)
 
 

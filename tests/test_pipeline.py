@@ -90,3 +90,69 @@ def test_pipeline_rejects_indivisible(rng):
         # device_put itself rejects the 4-layer axis over 3 stages; the
         # host-rank check in run() catches replicated trees the same way
         run(shard_stacked_params(mesh, stacked), x, mask)
+
+
+@pytest.mark.parametrize("num_micro", [2, 4])
+def test_interleaved_pipeline_matches_sequential(rng, num_micro):
+    """Interleaved (circular) schedule, pipe=2 x 2 levels over 4 layers:
+    output parity with the sequential stack."""
+    x, mask, stacked, layer_fn, sequential = _setup(rng)
+    mesh = make_pp_mesh(pipe=2, data=2)
+    run = make_pipelined_stack(layer_fn, mesh, num_microbatches=num_micro,
+                               num_levels=2)
+    stacked_dev = shard_stacked_params(mesh, stacked)
+    out_pp = run(stacked_dev, x, mask)
+    out_seq = sequential(stacked, x, mask)
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_seq),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_interleaved_pipeline_gradients_match_sequential(rng):
+    x, mask, stacked, layer_fn, sequential = _setup(rng)
+    mesh = make_pp_mesh(pipe=2, data=2)
+    run = make_pipelined_stack(layer_fn, mesh, num_microbatches=4,
+                               num_levels=2)
+    cot = jnp.array(np.random.RandomState(5).randn(*x.shape), jnp.float32)
+
+    def loss_pp(p):
+        return jnp.sum(run(p, x, mask) * cot)
+
+    def loss_seq(p):
+        return jnp.sum(sequential(p, x, mask) * cot)
+
+    g_pp = jax.grad(loss_pp)(shard_stacked_params(mesh, stacked))
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_interleaved_all_layers_one_stage(rng):
+    """pipe=1 x 4 levels: every layer loops through the single stage."""
+    x, mask, stacked, layer_fn, sequential = _setup(rng, batch=4)
+    mesh = make_pp_mesh(pipe=1, data=2)
+    run = make_pipelined_stack(layer_fn, mesh, num_microbatches=2,
+                               num_levels=4)
+    np.testing.assert_allclose(
+        np.asarray(run(stacked, x, mask)),
+        np.asarray(sequential(stacked, x, mask)), atol=1e-5, rtol=1e-5)
+
+
+def test_interleaved_rejects_too_few_microbatches(rng):
+    _, _, _, layer_fn, _ = _setup(rng)
+    mesh = make_pp_mesh(pipe=4, data=2)
+    with pytest.raises(ValueError, match="microbatches >= stages"):
+        make_pipelined_stack(layer_fn, mesh, num_microbatches=2,
+                             num_levels=2)
+
+
+def test_interleave_layer_order():
+    from socialmedia_textimage_classification_auxlosses_tpu.parallel.pipeline import (
+        interleave_layer_order,
+    )
+
+    # 8 layers, 2 stages, 2 levels, npl=2: stage 0 holds chunks 0 (layers
+    # 0,1) and 2 (layers 4,5); stage 1 holds chunks 1 (2,3) and 3 (6,7)
+    np.testing.assert_array_equal(
+        interleave_layer_order(8, 2, 2), [0, 1, 4, 5, 2, 3, 6, 7])

@@ -192,3 +192,17 @@ def test_run_mm_late_mesh_pipe_end_to_end(tmp_path):
     out = str(res / "mm_late") + "/"
     found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
     assert found, out
+
+
+def test_run_txt_mesh_pipe_interleaved_end_to_end(tmp_path):
+    """--pp_interleave 2 (circular schedule): 2 stages x 2 levels over the
+    4-layer small arch, real CLI in a subprocess."""
+    res = run_cli_in_subprocess(
+        "run_txt",
+        ["--model_name", "bert", "--task", "3", "--epochs", "1",
+         "--arch", "small", "--dtype", "float32", "--attn_impl", "jnp",
+         "--scan_layers", "--mesh_pipe", "2", "--pp_interleave", "2",
+         "--pp_microbatches", "2", "--log_every", "1"],
+        tmp_path)
+    assert os.path.isfile(str(res / "txt_only") +
+                          "/bert_task3_seed30_metrics_val.csv")
