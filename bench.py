@@ -234,7 +234,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
 def measure_eval(steps: int = 20, batch: int = BATCH,
                  dtype: str = "bfloat16", attn_impl: str = "auto",
                  cache_vision: bool = True, steps_per_dispatch: int = 10,
-                 prng_impl: str = "rbg"):
+                 prng_impl: str = "rbg", quantize: str = None):
     """Inference/serving throughput: the full eval step (deterministic
     forward incl. exact TIM activation reuse + losses + on-device confusion
     accumulation) under the scanned K-step eval dispatch — the
@@ -279,6 +279,20 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
             **tim_kw,
         )
 
+    if quantize == "w8":
+        # weight-only int8 serving quantization (ops/quant.py): kernels
+        # stream as int8 and dequantize inside the compiled step
+        from socialmedia_textimage_classification_auxlosses_tpu.ops.quant import (
+            make_quantized_eval_forward, quantize_w8, quantized_bytes,
+        )
+
+        qt = quantize_w8(params)
+        qb, ob = quantized_bytes(qt)
+        print(f"# w8: {qb/2**20:.0f} MiB int8 vs {ob/2**20:.0f} MiB f32 "
+              f"kernels", file=sys.stderr)
+        forward_fn = make_quantized_eval_forward(forward_fn,
+                                                 jnp.dtype(dtype))
+        params = qt
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
                           use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
     emany = make_eval_many(forward_fn, loss_cfg,
@@ -617,6 +631,9 @@ def main():
                         choices=["train", "eval"],
                         help="eval = the serving path (deterministic eval "
                              "step with exact TIM reuse, scanned dispatch)")
+    parser.add_argument("--quantize", default=None, choices=["w8"],
+                        help="(--phase eval) weight-only int8 kernels "
+                             "(w8a16 PTQ, ops/quant.py)")
     args = parser.parse_args()
 
     if args.phase == "eval":
@@ -626,11 +643,12 @@ def main():
             steps=args.steps, batch=args.batch, attn_impl=args.attn_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl)
+            prng_impl=args.prng_impl, quantize=args.quantize)
         posts = steps_per_sec * args.batch
         peak = peak_flops_of(jax.devices()[0])
         print(json.dumps({
-            "metric": f"posts/sec/chip (flagship EVAL/serving path, "
+            "metric": f"posts/sec/chip (flagship EVAL/serving path"
+                      f"{' w8' if args.quantize else ''}, "
                       f"batch {args.batch})",
             "value": round(posts, 2),
             "unit": "posts/sec",

@@ -48,6 +48,12 @@ def parse_args(argv=None):
     parser.add_argument("--eval_txt_test", action="store_true", help="eval txt test")
     parser.add_argument("--load_saved_model", action="store_true",
                         help="load saved model")
+    parser.add_argument("--quantize", type=str, default=None, choices=["w8"],
+                        help="(with --load_saved_model) serve with "
+                             "weight-only int8 kernels (w8a16 PTQ, "
+                             "ops/quant.py): halves weight HBM streaming "
+                             "on the bandwidth-bound eval step; logit "
+                             "closeness bounded in tests/test_quant.py")
     parser.add_argument("--import_reference_ckpt", type=str, default=None,
                         help="path to a reference-trained MM_Model .pth "
                              "state dict to import (torch.save format)")
@@ -164,6 +170,18 @@ def main(argv=None):
         # load-and-eval path (reference run_mm_late.py:155-185)
         trainer.params = load_params(model_path, setup.params)
         logger.info("model loaded")
+        if args.quantize == "w8":
+            from ..ops.quant import (make_quantized_eval_forward,
+                                     quantize_w8)
+            from ..train.steps import make_eval_many, make_eval_step
+
+            qfwd = make_quantized_eval_forward(setup.forward_fn)
+            trainer.params = quantize_w8(trainer.params)
+            trainer.eval_step = make_eval_step(qfwd, setup.loss_cfg,
+                                               setup.class_weights)
+            trainer.eval_many = make_eval_many(qfwd, setup.loss_cfg,
+                                               setup.class_weights)
+            logger.info("w8 serving quantization enabled")
         predictions = trainer.evaluate(setup.pipes["test"])
         save_predictions_csv(predictions, results_dir + stem + "preds_lm.csv")
         metrics = compute_metrics(predictions, cfg.num_labels,

@@ -55,7 +55,7 @@ def patch_task(monkeypatch, C, task, csv_path, img_fmt, results_root):
 
 
 def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
-                          n_devices=8, timeout=900):
+                          n_devices=8, timeout=1500):
     """Run a CLI runner as a REAL subprocess against a generated task
     fixture (env-var config anchoring), returning the results root.
 
@@ -79,12 +79,16 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-    kept = [f for f in env.get("XLA_FLAGS", "").split() if f and not
-            f.startswith("--xla_force_host_platform_device_count")]
-    for tf in ("--xla_cpu_collective_call_terminate_timeout_seconds=600",
-               "--xla_cpu_collective_timeout_seconds=600"):
-        if not any(k.startswith(tf.split("=")[0]) for k in kept):
-            kept.append(tf)
+    # REPLACE any inherited collective-timeout flags (conftest sets shorter
+    # ones for in-process tests) rather than keeping them: the subprocess
+    # programs are the heaviest and need the full margin
+    drop = ("--xla_force_host_platform_device_count",
+            "--xla_cpu_collective_call_terminate_timeout_seconds",
+            "--xla_cpu_collective_timeout_seconds")
+    kept = [f for f in env.get("XLA_FLAGS", "").split()
+            if f and not f.startswith(drop)]
+    kept += ["--xla_cpu_collective_call_terminate_timeout_seconds=1200",
+             "--xla_cpu_collective_timeout_seconds=1200"]
     env["XLA_FLAGS"] = " ".join(
         kept + [f"--xla_force_host_platform_device_count={n_devices}"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -80,3 +80,11 @@ def test_run_mm_late_load_saved_model(task3):
     stem = C.results_dir_mm_late + "bert-vit-concat_task3_seed30__"
     assert os.path.isfile(stem + "metrics_lm.csv")
     assert os.path.isfile(stem + "preds_lm.csv")
+    # w8 serving quantization over the same checkpoint: eval must run and
+    # keep the prediction CSV contract (logit-closeness bounds in
+    # test_quant.py)
+    full = pd.read_csv(stem + "preds_lm.csv")
+    run_mm_late.main(base + ["--load_saved_model", "--quantize", "w8"])
+    quant = pd.read_csv(stem + "preds_lm.csv")
+    assert list(quant.columns) == ["data_id", "label", "prediction"]
+    assert (quant["data_id"] == full["data_id"]).all()

@@ -139,13 +139,19 @@ def test_run_txt_mesh_pipe_end_to_end(tmp_path):
 
 def test_run_mm_early_vilt_mesh_pipe_end_to_end(tmp_path):
     """ViLT's joint encoder (a TransformerStack) pipelines via the same
-    config hook (subprocess — see fixtures.run_cli_in_subprocess)."""
+    config hook (subprocess — see fixtures.run_cli_in_subprocess).
+
+    4 virtual devices (pipe=2 x data=2), not 8: this is the heaviest PP
+    e2e program, and on a 1-core host eight partition threads racing
+    compile+execute can miss even a 600 s collective rendezvous window
+    (observed twice in full-suite runs, 2026-08-17); four threads keep the
+    same pipe x data coverage with half the scheduling pressure."""
     res = run_cli_in_subprocess(
         "run_mm_early",
         ["--model", "vilt", "--task", "3", "--epochs", "1",
          "--arch", "tiny", "--dtype", "float32", "--attn_impl", "jnp",
          "--scan_layers", "--mesh_pipe", "2", "--log_every", "1"],
-        tmp_path)
+        tmp_path, n_devices=4)
     out = str(res / "mm_early") + "/"
     found = [f for f in os.listdir(out) if f.endswith("metrics_val.csv")]
     assert found, out
@@ -160,7 +166,7 @@ def test_run_txt_mesh_pipe_with_chunked_dispatch(tmp_path):
          "--arch", "tiny", "--dtype", "float32", "--attn_impl", "jnp",
          "--scan_layers", "--mesh_pipe", "2", "--steps_per_dispatch", "2",
          "--log_every", "1"],
-        tmp_path)
+        tmp_path, n_devices=4)
     assert os.path.isfile(str(res / "txt_only") +
                           "/bert_task3_seed30_metrics_val.csv")
 
@@ -203,6 +209,6 @@ def test_run_txt_mesh_pipe_interleaved_end_to_end(tmp_path):
          "--arch", "small", "--dtype", "float32", "--attn_impl", "jnp",
          "--scan_layers", "--mesh_pipe", "2", "--pp_interleave", "2",
          "--pp_microbatches", "2", "--log_every", "1"],
-        tmp_path)
+        tmp_path, n_devices=4)
     assert os.path.isfile(str(res / "txt_only") +
                           "/bert_task3_seed30_metrics_val.csv")
