@@ -156,3 +156,29 @@ def test_interleave_layer_order():
     # 0,1) and 2 (layers 4,5); stage 1 holds chunks 1 (2,3) and 3 (6,7)
     np.testing.assert_array_equal(
         interleave_layer_order(8, 2, 2), [0, 1, 4, 5, 2, 3, 6, 7])
+
+
+def test_interleaved_pipeline_m_equals_s_boundary(rng):
+    """pipe=4 x 2 levels over 8 layers with microbatches == stages: the
+    wrap bank's write and next-level read land on the SAME tick — the
+    ordering edge the schedule must get right."""
+    cfg8 = EncoderConfig(vocab_size=11, hidden=8, layers=8, heads=2,
+                         mlp_dim=16, max_positions=8, type_vocab=0,
+                         dropout=0.0, scan_layers=True)
+    x = jnp.array(rng.randn(8, 4, cfg8.hidden), jnp.float32)
+    mask = jnp.ones((8, 4), jnp.int32)
+    stack = TransformerStack(cfg8)
+    params = stack.init(jax.random.PRNGKey(0), x, mask, True)
+    stacked = params["params"]["layers"]["layer"]
+
+    def layer_fn(p_one, h, km, rng_):
+        return EncoderLayer(cfg8).apply({"params": p_one}, h, km, True)
+
+    mesh = make_pp_mesh(pipe=4, data=2)
+    run = make_pipelined_stack(layer_fn, mesh, num_microbatches=4,
+                               num_levels=2)
+    out_pp = run(shard_stacked_params(mesh, stacked), x, mask)
+    out_seq = stack.apply({"params": {"layers": {"layer": stacked}}}, x,
+                          mask, True)
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_seq),
+                               atol=1e-5, rtol=1e-5)
