@@ -598,10 +598,16 @@ def main():
     parser.add_argument("--no_cache_vision", dest="cache_vision",
                         action="store_false")
     parser.add_argument("--steps_per_dispatch", type=int,
-                        default=int(os.environ.get("SMTC_BENCH_SPD", "10")),
+                        default=int(os.environ.get("SMTC_BENCH_SPD", "100")),
                         help="optimizer steps per device dispatch (scanned "
                              "multi-step, train.steps.make_train_many; 1 = "
-                             "per-step dispatch)")
+                             "per-step dispatch). Default 100: the tunneled "
+                             "chip costs ~23 ms per dispatch, i.e. "
+                             "~2.3 ms/step at K=10 — measured by K-scaling "
+                             "(BASELINE.md round-3) — and an epoch is 450+ "
+                             "steps, so large K is the realistic training "
+                             "shape; the trajectory is bit-identical for "
+                             "any K (tests/test_train_many.py)")
     parser.add_argument("--prng_impl", default=os.environ.get(
                             "SMTC_BENCH_PRNG", "rbg"),
                         choices=["rbg", "threefry"])
