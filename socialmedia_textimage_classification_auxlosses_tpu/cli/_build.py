@@ -84,11 +84,14 @@ def _maybe_pp(args, cfg, overrides, stack_pred=None):
 
     if not overrides.get("scan_layers"):
         raise SystemExit("--mesh_pipe requires --scan_layers")
-    if jax.process_count() > 1:
-        # fail at the CLI surface, not mid-epoch (PipeMeshPlan's multi-host
-        # trainer hooks are out of scope this round)
-        raise SystemExit("--mesh_pipe is single-process for now; on pods use "
-                         "data/tensor parallelism (--mesh_data/--mesh_model)")
+    if (jax.process_count() > 1
+            and jax.local_device_count() % mesh_pipe):
+        # fail at the CLI surface, not mid-epoch: stage hops must ride ICI,
+        # so each host needs whole pipelines (PipeMeshPlan hooks)
+        raise SystemExit(
+            f"--mesh_pipe {mesh_pipe} does not divide this host's "
+            f"{jax.local_device_count()} local devices; multi-host PP "
+            "requires whole pipelines per host")
     n_dev = len(jax.devices())
     pp_mesh = make_pp_mesh(pipe=mesh_pipe, data=max(1, n_dev // mesh_pipe))
     # microbatches split each data shard's LOCAL rows

@@ -103,6 +103,60 @@ class PipeMeshPlan:
         return {k: jax.device_put(v, stacked if np.ndim(v) >= 2 else rep)
                 for k, v in batches.items()}
 
-    # Trainer multi-host hooks (single-process PP for now)
+    # Trainer multi-host hooks. Deployment shape: whole pipelines per host
+    # (pipe is the MINOR mesh axis so stage hops ride ICI; data rows split
+    # across hosts process-major, exactly like the data mesh). Each
+    # process's devices then cover an integer number of data rows, so the
+    # row assignment is the same contiguous split MeshPlan uses
+    # (parallel/mesh.py:93-108). Exercised by the two-process PP case in
+    # tests/test_multiprocess.py.
+
+    def _check_local_pipelines(self):
+        pipe = self.mesh.shape["pipe"]
+        local = jax.local_device_count()
+        if jax.process_count() > 1 and local % pipe:
+            raise ValueError(
+                f"multi-host PP needs whole pipelines per host "
+                f"(local devices {local} % pipe {pipe} != 0): a pipeline "
+                "stage hop must ride ICI, not DCN")
+
     def process_rows(self, global_batch_size):
-        raise NotImplementedError("PP is single-process in this round")
+        self._check_local_pipelines()
+        p, n = jax.process_index(), jax.process_count()
+        per = global_batch_size // n
+        if per * n != global_batch_size:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{n} processes")
+        return p * per, (p + 1) * per
+
+    def process_batch(self, local_batch, global_batch_size: int):
+        """Global data-sharded batch from this process's local rows
+        (``jax.make_array_from_process_local_data``); rows replicate over
+        the local pipe stages."""
+        self._check_local_pipelines()
+        sharding = self.batch_sharding()
+
+        def to_global(x):
+            shape = (global_batch_size,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, shape)
+
+        return jax.tree_util.tree_map(to_global, local_batch)
+
+    def process_batch_stacked(self, local_batches, global_batch_size: int):
+        """Pod counterpart of ``shard_batch_stacked``: (K, local_B, ...) ->
+        global (K, global_B, ...), axis 1 over ``data``; (K,) scalars
+        replicate (identical on every host by construction)."""
+        self._check_local_pipelines()
+        stacked = NamedSharding(self.mesh, P(None, "data"))
+        rep = NamedSharding(self.mesh, P())
+
+        def to_global(x):
+            x = np.asarray(x)
+            if x.ndim >= 2:
+                shape = (x.shape[0], global_batch_size) + tuple(x.shape[2:])
+                return jax.make_array_from_process_local_data(stacked, x,
+                                                              shape)
+            return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+        return {k: to_global(v) for k, v in local_batches.items()}

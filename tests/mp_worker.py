@@ -134,10 +134,60 @@ def main():
     eager = int(cache.valid.sum())
     gathered = cache.gather([str(i) for i in range(1, 9)])  # fills misses
 
+    # --- (d) pipeline parallelism across processes ------------------------
+    # (data=4, pipe=2) over the 8 global devices: with 4 local devices each
+    # host holds two whole pipelines (stage hops stay intra-host), rows
+    # split process-major via PipeMeshPlan.process_rows/process_batch.
+    from socialmedia_textimage_classification_auxlosses_tpu.models.encoder import (
+        EncoderConfig, EncoderLayer, TransformerStack,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.parallel.pipeline import (
+        make_pipelined_stack, make_pp_mesh,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.parallel.pp_text import (
+        PipeMeshPlan,
+    )
+
+    pcfg = EncoderConfig(vocab_size=11, hidden=16, layers=4, heads=2,
+                         mlp_dim=32, max_positions=8, type_vocab=0,
+                         dropout=0.0, scan_layers=True)
+    prng = np.random.RandomState(11)
+    gx = prng.randn(8, 6, pcfg.hidden).astype(np.float32)  # global batch
+    gmask = np.ones((8, 6), np.int32)
+    stack = TransformerStack(pcfg)
+    pparams = stack.init(jax.random.PRNGKey(3),
+                         jnp.asarray(gx), jnp.asarray(gmask), True)
+
+    def layer_fn(p_one, h, km, r):
+        return EncoderLayer(pcfg).apply({"params": p_one}, h, km, True)
+
+    pp_mesh = make_pp_mesh(pipe=2, data=4)
+    pplan = PipeMeshPlan(pp_mesh)
+    lo, hi = pplan.process_rows(8)
+    gbatch = pplan.process_batch(
+        {"x": gx[lo:hi], "mask": gmask[lo:hi]}, 8)
+    pparams = pplan.shard_params(pparams)
+    run = make_pipelined_stack(layer_fn, pp_mesh, num_microbatches=2)
+
+    @jax.jit
+    def pp_loss_and_grad(p, x, mask):
+        def loss_fn(q):
+            out = run(q["params"]["layers"]["layer"], x, mask)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    ploss, pgrads = pp_loss_and_grad(pparams, gbatch["x"], gbatch["mask"])
+    pp_loss = float(ploss)
+    pp_gnorm = float(jnp.sqrt(sum(
+        jnp.sum(jax.device_get(g).astype(jnp.float64) ** 2)
+        for g in jax.tree_util.tree_leaves(pgrads))))
+
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
         json.dump({"losses": losses, "chunk_losses": chunk_losses,
                    "checksum": checksum, "cache_eager": eager,
                    "cache_sum": int(np.asarray(gathered, np.int64).sum()),
+                   "pp_loss": pp_loss, "pp_gnorm": pp_gnorm,
                    "devices": len(jax.devices())}, f)
 
 

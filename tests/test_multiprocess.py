@@ -92,3 +92,12 @@ def test_two_process_training_and_cache(tmp_path):
     np.testing.assert_allclose(solo["losses"], res[0]["losses"], rtol=1e-5)
     np.testing.assert_allclose(solo["chunk_losses"], res[0]["chunk_losses"],
                                rtol=1e-5)
+
+    # pipeline parallelism across processes (PipeMeshPlan hooks): both
+    # processes agree, and the two-process PP loss/grad-norm matches the
+    # single-process run of the same (data=4, pipe=2) program
+    assert res[0]["pp_loss"] == res[1]["pp_loss"]
+    assert res[0]["pp_gnorm"] == res[1]["pp_gnorm"]
+    np.testing.assert_allclose(solo["pp_loss"], res[0]["pp_loss"], rtol=1e-5)
+    np.testing.assert_allclose(solo["pp_gnorm"], res[0]["pp_gnorm"],
+                               rtol=1e-4)
