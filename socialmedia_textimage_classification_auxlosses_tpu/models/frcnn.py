@@ -372,6 +372,56 @@ def greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float,
     return np.asarray(keep, np.int64)
 
 
+def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None):
+    """Exact greedy NMS on device over boxes ALREADY SORTED by score
+    descending (dead rows sorted to the back). Semantics identical to
+    ``greedy_nms``: a kept box suppresses every later box with IoU strictly
+    greater than ``thresh``; the scan stops once ``max_out`` boxes are kept
+    (later rows keep their current flag — callers compact in score order and
+    cut at ``max_out``, so any uninspected tail rows never surface).
+
+    ``group`` (optional int vector) restricts suppression to same-group
+    boxes: one scan over the global score order then decomposes into exactly
+    the independent per-group greedy scans — the device form of the staged
+    path's per-class NMS loop (``_select_detections``), with no coordinate
+    offsetting (bit-exact boxes).
+
+    Runs as a ``lax.while_loop`` whose bound is the number of live rows —
+    a few thousand tiny vector steps entirely on device, replacing the
+    fetch-6000-boxes-to-host + numpy-NMS round trip that dominated the
+    staged detector's warm latency (BASELINE.md round-3 detector profile).
+    Returns ``(keep mask, kept count)``.
+    """
+    n = boxes.shape[0]
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    nlive = jnp.sum(alive.astype(jnp.int32))
+    rows = jnp.arange(n)
+
+    def cond(state):
+        i, _, cnt = state
+        return (i < nlive) & (cnt < max_out)
+
+    def body(state):
+        i, keep, cnt = state
+        ki = keep[i]
+        xx0 = jnp.maximum(x0[i], x0)
+        yy0 = jnp.maximum(y0[i], y0)
+        xx1 = jnp.minimum(x1[i], x1)
+        yy1 = jnp.minimum(y1[i], y1)
+        inter = jnp.maximum(xx1 - xx0, 0) * jnp.maximum(yy1 - yy0, 0)
+        union = areas[i] + areas - inter
+        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+        sup = (rows > i) & (iou > thresh) & ki
+        if group is not None:
+            sup = sup & (group == group[i])
+        return i + 1, keep & ~sup, cnt + ki.astype(jnp.int32)
+
+    _, keep, cnt = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alive, jnp.int32(0)))
+    return keep, jnp.minimum(cnt, max_out)
+
+
 def roi_align(fmap, boxes, *, output_size: int, spatial_scale: float,
               sampling_ratio: int, chunk: int = 32):
     """ROIAlign, aligned=False legacy coordinates (torchvision/Detectron
@@ -521,6 +571,7 @@ class FrcnnDetector:
         self._gatherv = jax.jit(
             lambda f, i: f[jnp.arange(f.shape[0])[:, None], i])
         self._anchor_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        self._fused = jax.jit(self._fused_detect)
 
     def init_params(self, rng):
         cfg = self.cfg
@@ -590,20 +641,95 @@ class FrcnnDetector:
         idx = np.asarray(chosen, np.int64)
         return idx, boxes[idx], best[idx], cls[idx]
 
+    def _fused_detect(self, params, canvases, size_hw):
+        """ONE jitted dispatch: stage 1 -> device RPN (top-k, decode, greedy
+        NMS) -> stage 2 -> device per-class selection -> 36-row outputs.
+
+        Greedy-NMS and final-selection semantics are identical to the staged
+        host path (``_rpn_proposals``/``_select_detections``); the per-class
+        box NMS becomes ONE group-masked device NMS over the global score
+        order — suppression is restricted to same-class boxes, so the scan
+        decomposes into exactly the per-class scans (bit-exact coordinates,
+        no class offsetting). Only (B, 36, ...) results cross to
+        the host: at full VG geometry the staged path shipped ~50 MB of RPN
+        tensors per batch through the tunneled link and ran ~1 s of numpy NMS
+        (the round-3 profile in BASELINE.md); here nothing leaves the device
+        until the final 36 regions.
+        """
+        cfg = self.cfg
+        fmap, logits, deltas = FrcnnStage1(cfg).apply(
+            params["stage1"], canvases, size_hw)
+        gh, gw = fmap.shape[1], fmap.shape[2]
+        anchors = jnp.asarray(self._anchors(gh, gw))
+        n_post = cfg.rpn_post_nms_topk
+
+        def rpn_one(lg, dl, sz):
+            scores = lg.reshape(-1)
+            k = min(cfg.rpn_pre_nms_topk, scores.shape[0])
+            sc, idx = jax.lax.top_k(scores, k)
+            bx = decode_boxes(anchors[idx], dl.reshape(-1, 4)[idx],
+                              cfg.rpn_bbox_weights)
+            bx = clip_boxes(bx, sz[0], sz[1])
+            alive = (((bx[:, 2] - bx[:, 0]) > cfg.rpn_min_box_size)
+                     & ((bx[:, 3] - bx[:, 1]) > cfg.rpn_min_box_size))
+            order = jnp.argsort(jnp.where(alive, -sc, jnp.inf), stable=True)
+            bx, alive = bx[order], alive[order]
+            keep, cnt = nms_keep_device(bx, alive, cfg.rpn_nms_thresh, n_post)
+            sel = jnp.argsort(~keep, stable=True)[:n_post]
+            mask = jnp.arange(n_post) < cnt
+            return jnp.where(mask[:, None], bx[sel], 0.0), cnt
+
+        props, nvalid = jax.vmap(rpn_one)(logits, deltas, size_hw)
+        feats, best, cls, det = jax.vmap(
+            lambda fm, bxs, sz: FrcnnStage2(cfg).apply(
+                params["stage2"], fm, bxs, sz))(fmap, props, size_hw)
+
+        def select_one(feat, best, cls, det, nv, sz):
+            n = best.shape[0]
+            row_ok = jnp.arange(n) < nv
+            conf = row_ok & (best >= cfg.box_score_thresh)
+            order = jnp.argsort(jnp.where(conf, -best, jnp.inf), stable=True)
+            keep_s, _ = nms_keep_device(det[order], conf[order],
+                                        cfg.box_nms_thresh, n,
+                                        group=cls[order])
+            kept = jnp.zeros(n, bool).at[order].set(keep_s)
+            # ranking key: kept rows first (score desc), then backfill rows
+            # (below threshold or NMS-suppressed) score desc — the staged
+            # path's chosen + rest ordering (_select_detections)
+            key = jnp.where(row_ok, best + kept.astype(jnp.float32) * 2.0,
+                            -jnp.inf)
+            top = jnp.argsort(-key, stable=True)[: cfg.max_detections]
+            cnt = jnp.minimum(nv, cfg.max_detections)
+            m = jnp.arange(cfg.max_detections) < cnt
+            norm = det[top] / jnp.stack([sz[1], sz[0], sz[1], sz[0]])
+            return (jnp.where(m[:, None], feat[top], 0.0),
+                    jnp.where(m[:, None], norm, 0.0),
+                    jnp.where(m, best[top], 0.0),
+                    jnp.where(m, cls[top].astype(jnp.int32), -1),
+                    cnt)
+
+        return jax.vmap(select_one)(feats, best, cls, det, nvalid, size_hw)
+
     def detect(self, img) -> Dict[str, np.ndarray]:
         """Raw RGB image (array or PIL) -> dict with ``roi_features``
         (max_detections, feat_dim), ``normalized_boxes`` (max_detections, 4)
         in [0,1] of the resized image, plus scores/classes."""
         return self.detect_batch([img])[0]
 
-    def detect_batch(self, imgs, pad_to: Optional[int] = None) -> list:
-        """Batched inference over a list of raw images: ONE stage-1 dispatch
-        per canvas orientation and ONE vmapped stage-2 dispatch per group
-        (the sequential NMS/selection stays host-side per image, it is a
-        few thousand numpy boxes). Per-image results are identical to
-        ``detect`` — batching only amortizes dispatch/tunnel round-trips
-        and fills the MXU at the offline cacher's throughput shapes
-        (reference obj_features.py:142-173 runs strictly per image).
+    def detect_batch(self, imgs, pad_to: Optional[int] = None,
+                     fused: bool = True) -> list:
+        """Batched inference over a list of raw images. Per-image results are
+        identical to single-image ``detect`` — batching only amortizes
+        dispatch/tunnel round-trips and fills the MXU at the offline cacher's
+        throughput shapes (reference obj_features.py:142-173 runs strictly
+        per image).
+
+        ``fused=True`` (default): ONE jitted dispatch per orientation group
+        does everything — backbone, RPN decode + greedy NMS, ROI heads,
+        per-class selection — and only the final 36-region tensors cross to
+        the host (``_fused_detect``). ``fused=False`` keeps the staged path
+        (device conv stages, host numpy NMS between them) whose halves are
+        parity-tested piecewise against the torch twin.
 
         ``pad_to`` zero-pads each orientation group to a fixed batch so the
         jitted stages compile at most twice (landscape/portrait) regardless
@@ -615,6 +741,25 @@ class FrcnnDetector:
         for i, (canvas, _, _) in enumerate(pre):
             groups.setdefault(canvas.shape, []).append(i)
         results: list = [None] * len(imgs)
+        if fused:
+            for shape, idxs in groups.items():
+                bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
+                canv = np.zeros((bp,) + shape, np.uint8)
+                sizes = np.ones((bp, 2), np.float32)
+                for j, i in enumerate(idxs):
+                    canv[j] = pre[i][0]
+                    sizes[j] = pre[i][1]
+                feats, boxes, scores, classes, cnts = jax.tree_util.tree_map(
+                    np.asarray, self._fused(self.params, canv,
+                                            jnp.asarray(sizes)))
+                for j, i in enumerate(idxs):
+                    results[i] = {
+                        "roi_features": feats[j],
+                        "normalized_boxes": boxes[j],
+                        "scores": scores[j],
+                        "classes": classes[j].astype(np.int64),
+                    }
+            return results
         for shape, idxs in groups.items():
             bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
             canv = np.zeros((bp,) + shape, np.uint8)

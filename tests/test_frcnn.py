@@ -144,6 +144,48 @@ def test_detect_batch_matches_detect(twin_and_params):
             np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6)
 
 
+def test_fused_detect_matches_staged(twin_and_params):
+    """The single-dispatch fused path (device RPN NMS + device per-class
+    selection, models/frcnn.py _fused_detect) is per-image identical to the
+    staged path (host numpy NMS between jitted stages): same 36 regions,
+    same order, same features — the group-masked while_loop greedy scan
+    reproduces the per-class greedy_nms loop exactly."""
+    _, params = twin_and_params
+    det = FR.FrcnnDetector(TINY, params=params)
+    imgs = [_image(seed=1), _image(h=70, w=40, seed=2), _image(seed=3),
+            _image(h=33, w=33, seed=4)]
+    fused = det.detect_batch(imgs, pad_to=4, fused=True)
+    staged = det.detect_batch(imgs, pad_to=4, fused=False)
+    for got, ref in zip(fused, staged):
+        np.testing.assert_array_equal(got["classes"], ref["classes"])
+        for k in ("roi_features", "normalized_boxes", "scores"):
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5,
+                                       err_msg=k)
+
+
+def test_nms_keep_device_matches_host(rng):
+    """Device greedy NMS (sorted boxes + alive mask + max_out early stop)
+    reproduces greedy_nms over the alive subset."""
+    import jax.numpy as jnp
+
+    boxes = rng.rand(60, 4) * 50
+    boxes[:, 2:] = boxes[:, :2] + rng.rand(60, 2) * 30 + 1
+    scores = rng.rand(60).astype(np.float32)
+    alive = rng.rand(60) > 0.2
+    order = np.argsort(np.where(alive, -scores, np.inf), kind="stable")
+    sb, sa = boxes[order].astype(np.float32), alive[order]
+    for max_out in (60, 7):
+        keep, cnt = FR.nms_keep_device(jnp.asarray(sb), jnp.asarray(sa),
+                                       0.5, max_out)
+        keep, cnt = np.asarray(keep), int(cnt)
+        got = order[np.nonzero(keep)[0]][:max_out]
+        live = np.nonzero(alive)[0]
+        ref = live[FR.greedy_nms(boxes[live], scores[live], 0.5,
+                                 max_out=max_out)]
+        assert cnt == len(ref)
+        np.testing.assert_array_equal(np.sort(got[:cnt]), np.sort(ref))
+
+
 def test_obj_features_cli_frcnn_source(tmp_path, monkeypatch):
     """Raw images -> ROI cache through the real CLI (--obj_source frcnn):
     COVERAGE row 35 — no reference dumps involved; the LXMERT build's
