@@ -182,8 +182,32 @@ class _ImgDecoderAction(argparse.Action):
         os.environ["SMTC_IMG_DECODER"] = values
 
 
+def enable_compile_cache():
+    """Point JAX at a persistent compilation cache for every CLI run.
+
+    Full-size model compiles cost 90 s-20 min on a tunneled/shared TPU
+    (BASELINE.md operational notes) and users re-run the runners many times
+    per experiment sweep; the persistent cache makes every compile after the
+    first a disk hit. Opt out with ``SMTC_COMPILE_CACHE=0``; relocate with
+    ``SMTC_COMPILE_CACHE_DIR`` (default ``~/.cache/smtc_jax_cache``, or an
+    already-exported ``JAX_COMPILATION_CACHE_DIR`` wins)."""
+    if os.environ.get("SMTC_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    path = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.environ.get("SMTC_COMPILE_CACHE_DIR")
+            or os.path.expanduser("~/.cache/smtc_jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took real compile time, not just >1 GB programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def seed_everything(seed: int, prng_impl: str = None):
     np.random.seed(seed)
+    enable_compile_cache()
     if prng_impl:
         import jax
 

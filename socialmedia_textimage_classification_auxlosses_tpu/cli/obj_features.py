@@ -195,6 +195,9 @@ def _grid_boxes(grid: int) -> np.ndarray:
 
 
 def main(argv=None):
+    from ._common import enable_compile_cache
+
+    enable_compile_cache()   # the full-geometry detector compile is ~2-3 min
     parser = argparse.ArgumentParser(description="offline feature caching")
     parser.add_argument("--task", type=int, choices=[0, 1, 2, 3, 4, 5, 6],
                         required=True)
