@@ -29,6 +29,7 @@ framework provides three object-feature sources (``--obj_source``):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import numpy as np
 
@@ -115,14 +116,22 @@ def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
 
 
 def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
-                           weight_path: str = None, tiny: bool = False):
+                           weight_path: str = None, tiny: bool = False,
+                           dtype: str = "float32"):
     """Native detector path: raw images -> (N, 36, 2048) ROI features +
     (N, 36, 4) normalized boxes (reference preprocess_obj,
-    obj_features.py:142-173), resumable at the cache level."""
+    obj_features.py:142-173), resumable at the cache level.
+
+    ``dtype="bfloat16"`` runs the conv trunk (backbone/res5) in bf16 — a
+    throughput option for the conv-bound fused path; RPN outputs, box
+    decode/NMS, and pooled features stay f32. f32 is the parity default
+    (torch-twin tests)."""
     from ..models import frcnn as FR
     from ..data.images import open_image
 
     cfg = FR.TINY if tiny else FR.FrcnnConfig()
+    if dtype != cfg.dtype:
+        cfg = dataclasses.replace(cfg, dtype=dtype)
     det = None
     if weight_path is None:
         weight_path = C.MODEL_DIR_DICT.get("frcnn", "")
@@ -215,6 +224,10 @@ def main(argv=None):
     parser.add_argument("--frcnn_arch", type=str, default="full",
                         choices=["full", "tiny"],
                         help="tiny = smoke-test detector geometry")
+    parser.add_argument("--frcnn_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = bf16 conv trunk (throughput "
+                             "option; f32 is the torch-twin parity default)")
     parser.add_argument("--testing", action="store_true")
     parser.add_argument("--shard", type=str, default=None, metavar="I:N",
                         help="process this 1/N round-robin slice of the ids "
@@ -258,7 +271,8 @@ def main(argv=None):
         else:  # auto (no dumps) or frcnn: the native detector
             extract_frcnn_features(ids, img_fmt, cache,
                                    weight_path=args.frcnn_ckpt,
-                                   tiny=args.frcnn_arch == "tiny")
+                                   tiny=args.frcnn_arch == "tiny",
+                                   dtype=args.frcnn_dtype)
     else:
         size = args.image_size or (384 if args.mode == "vilt" else 224)
         tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"
