@@ -1,0 +1,330 @@
+"""Production serving endpoint for trained late-fusion artifacts.
+
+The reference stops at offline evaluation (its closest thing to serving is
+``--load_saved_model`` + CSV dumps, reference ``run_mm_late.py:155-185``);
+a production deployment needs an online path. This runner loads a trained
+``run_mm_late`` artifact (the same ``{txt}-{img}-{fusion}_task{t}_seed{s}_
+{loss_str}_{N}net.pth`` naming contract) and serves HTTP classification:
+
+    python -m ....cli.serve --task 3 --txt_model_name bernice \
+        --img_model_name vit --fusion_name attention --port 8473
+
+    POST /classify   {"text": "...", "image_path": "p.jpg" | "image_b64":
+                      "<base64 bytes>"}   ->
+                     {"prediction": k, "class": "...", "probs": [...]}
+    GET  /healthz    liveness + model identity
+
+TPU-shaped serving, not a per-request loop:
+
+* ONE jitted deterministic forward at a FIXED ``--max_batch`` shape — a
+  single compilation, no retrace ever (XLA static shapes);
+* requests are micro-batched: the dispatcher collects up to ``--max_batch``
+  requests inside a ``--batch_window_ms`` window and answers them with one
+  device dispatch (padding rows replicate row 0 and are dropped host-side);
+* requests without an image run the reference's empty-image text-only flow
+  (zeros canvas — reference ``datasets.py:168-170``);
+* ``--quantize w8`` serves with the weight-only int8 kernels (ops/quant.py),
+  the 4x weight-memory serving option.
+
+The dataset CSVs are NOT required: the model is built from the static task
+registry (``core.config.serving_config``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+from ..core import config as C
+from ..utils.logging import get_logger
+from ._common import (ARCH_PRESETS, enable_compile_cache, results_dir_for,
+                      seed_everything)
+
+logger = get_logger(__name__)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="serve a trained model")
+    parser.add_argument("--txt_model_name", type=str, default="bernice",
+                        choices=["bert", "bernice", "bertweet", "roberta"])
+    parser.add_argument("--img_model_name", type=str, default="vit",
+                        choices=["vit", "beit", "deit", "resnet50",
+                                 "resnet152"])
+    parser.add_argument("--fusion_name", type=str, default="attention",
+                        choices=["xatt", "concat", "attention", "concat_cnn",
+                                 "aspect-att", "gmu"])
+    parser.add_argument("--task", type=int, required=True,
+                        choices=[0, 1, 2, 3, 4, 5, 6])
+    parser.add_argument("--seed", type=int, default=30,
+                        help="seed of the trained artifact (name contract)")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="explicit artifact path; default derives the "
+                             "run_mm_late naming contract under the results "
+                             "dir")
+    parser.add_argument("--use_clip_loss", action="store_true",
+                        help="artifact was trained with ITC (name contract)")
+    parser.add_argument("--use_tim_loss", action="store_true",
+                        help="artifact was trained with TIM (name contract)")
+    parser.add_argument("--beta_itc", type=float, default=0.1)
+    parser.add_argument("--beta_itm", type=float, default=0.1)
+    parser.add_argument("--nsamples", type=int, default=-1)
+    parser.add_argument("--testing", action="store_true")
+    parser.add_argument("--dropout", type=float, default=0.05)
+    parser.add_argument("--weight_decay", type=float, default=0.00025)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--attn_impl", type=str, default="auto")
+    parser.add_argument("--arch", type=str, default="base",
+                        choices=sorted(ARCH_PRESETS))
+    parser.add_argument("--quantize", type=str, default=None, choices=["w8"])
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8473)
+    parser.add_argument("--max_batch", type=int, default=16,
+                        help="serving batch (ONE compiled shape)")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0,
+                        help="micro-batching window: first request opens the "
+                             "window, the dispatch ships when it closes or "
+                             "the batch fills")
+    parser.add_argument("--random_init", action="store_true",
+                        help="serve random-init weights (smoke tests only)")
+    return parser.parse_args(argv)
+
+
+def build_service(args):
+    """Model + single fixed-shape jitted predict + request preprocessing.
+
+    Returns ``(predict_batch, meta)`` where ``predict_batch(requests) ->
+    list of response dicts`` runs ONE device dispatch for up to
+    ``max_batch`` requests."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.images import resize_to_u8
+    from ..train.checkpoint import load_params
+    from ._build import build_mm_late_setup
+
+    cfg = C.serving_config(args)
+    setup = build_mm_late_setup(args, cfg)
+    tokenizer = setup.tokenizer
+    image_size = setup.pipes["test"].cfg.image_size
+
+    if args.model_path:
+        model_path = args.model_path
+    else:
+        loss_str = cfg.loss_str
+        nsamples_str = ("" if args.nsamples == -1
+                        else "N" + str(args.nsamples) + "_")
+        stem = "{}-{}-{}_task{}_seed{}_{}_{}".format(
+            args.txt_model_name, args.img_model_name, args.fusion_name,
+            args.task, args.seed, loss_str, nsamples_str)
+        model_path = (results_dir_for(C.results_dir_mm_late, args.testing)
+                      + stem + "net.pth")
+    params = setup.params
+    if args.random_init:
+        logger.warning("serving RANDOM-INIT weights (--random_init)")
+    else:
+        params = load_params(model_path, setup.params)
+        logger.info("loaded %s", model_path)
+
+    forward = setup.forward_fn
+    if args.quantize == "w8":
+        from ..ops.quant import make_quantized_eval_forward, quantize_w8
+
+        forward = make_quantized_eval_forward(forward)
+        params = quantize_w8(params)
+        logger.info("w8 serving quantization enabled")
+
+    multilabel = cfg.multilabel
+    b = args.max_batch
+
+    @jax.jit
+    def _predict(p, batch):
+        out = forward(p, batch, None, None, True)
+        logits = out["out_cls"].astype(jnp.float32)
+        if multilabel:
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def predict_batch(requests):
+        """requests: list of (text, image-or-None); one device dispatch."""
+        n = len(requests)
+        assert 0 < n <= b
+        texts = [r[0] for r in requests]
+        enc = tokenizer(texts + ["placeholder"] * (b - n))
+        pixels = np.zeros((b, image_size, image_size, 3), np.uint8)
+        for i, (_, img) in enumerate(requests):
+            if img is not None:
+                # reference empty-image flow for img=None (datasets.py:168-170)
+                pixels[i] = resize_to_u8(img, image_size)
+        batch = {"ids": np.asarray(enc["ids"], np.int32),
+                 "mask": np.asarray(enc["mask"], np.int32),
+                 "pixel_values": pixels}
+        if "token_type_ids" in enc:
+            batch["token_type_ids"] = np.asarray(enc["token_type_ids"],
+                                                 np.int32)
+        probs = np.asarray(_predict(params, batch))[:n]
+        classes = cfg.classes
+        out = []
+        for row in probs:
+            pred = int(np.argmax(row))
+            out.append({
+                "prediction": pred,
+                "class": classes[pred] if classes else None,
+                "probs": [float(v) for v in row],
+            })
+        return out
+
+    meta = {
+        "model": f"{args.txt_model_name}-{args.img_model_name}-"
+                 f"{args.fusion_name}",
+        "task": args.task,
+        "task_name": cfg.task_name,
+        "num_labels": cfg.num_labels,
+        "max_batch": b,
+        "model_path": None if args.random_init else model_path,
+    }
+    return predict_batch, meta
+
+
+class MicroBatcher:
+    """Collects concurrent requests into one device dispatch.
+
+    The first queued request opens a window; the dispatcher ships when the
+    window closes or ``max_batch`` requests are pending. Callers block on a
+    per-request event and get their row of the batched result."""
+
+    def __init__(self, predict_batch, max_batch: int, window_ms: float):
+        self._predict = predict_batch
+        self._max = max_batch
+        self._window = window_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._stop = False
+        self._thread.start()
+
+    def submit(self, text, image):
+        done = threading.Event()
+        slot = {"done": done}
+        self._q.put((text, image, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while not self._stop:
+            first = self._q.get()
+            if first is None:
+                continue
+            pending = [first]
+            deadline = time.monotonic() + self._window
+            while len(pending) < self._max:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                pending.append(item)
+            try:
+                results = self._predict([(t, im) for t, im, _ in pending])
+                for (_, _, slot), res in zip(pending, results):
+                    slot["result"] = res
+                    slot["done"].set()
+            except Exception as e:  # surface to every waiting caller
+                for _, _, slot in pending:
+                    slot["error"] = repr(e)
+                    slot["done"].set()
+
+
+def _decode_image(payload):
+    from PIL import Image
+
+    if payload.get("image_b64"):
+        raw = base64.b64decode(payload["image_b64"])
+        return Image.open(io.BytesIO(raw)).convert("RGB")
+    if payload.get("image_path"):
+        return Image.open(payload["image_path"]).convert("RGB")
+    return None
+
+
+def make_server(args, batcher: MicroBatcher, meta):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", **meta})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                text = payload.get("text", "")
+                image = _decode_image(payload)
+                self._send(200, batcher.submit(text, image))
+            except Exception as e:
+                self._send(400, {"error": repr(e)})
+
+        def log_message(self, fmt, *a):
+            logger.info("http: " + fmt, *a)
+
+    return ThreadingHTTPServer((args.host, args.port), Handler)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    enable_compile_cache()
+    seed_everything(args.seed)
+    predict_batch, meta = build_service(args)
+    # warm the single compiled shape before accepting traffic
+    t0 = time.time()
+    predict_batch([("warmup", None)])
+    logger.info("compiled serving shape (batch %d) in %.1fs",
+                args.max_batch, time.time() - t0)
+    batcher = MicroBatcher(predict_batch, args.max_batch,
+                           args.batch_window_ms)
+    server = make_server(args, batcher, meta)
+    logger.info("serving %s on %s:%d (max_batch=%d, window=%.1fms)",
+                meta["model"], args.host, server.server_address[1],
+                args.max_batch, args.batch_window_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -280,6 +280,51 @@ class Config:
         self.runtime = runtime or RuntimeConfig()
 
 
+def serving_config(args, model_name=None) -> "Config":
+    """A ``Config`` built from the static task registry WITHOUT reading the
+    task's data-key CSV — for deployments (``cli/serve.py``) that load a
+    trained artifact and classify live requests, where the training dataset
+    need not be present. ``data`` holds a tiny synthetic frame (one row per
+    split per class) so builders that size pipelines from splits still work;
+    no real data is involved."""
+    import pandas as pd
+
+    spec = task_spec(args.task)
+    cfg = object.__new__(Config)
+    cfg.task = args.task
+    cfg.multilabel = False
+    cfg.column_names = ["tweet_id", "text", "label", "split"]
+    rows = []
+    for split in ("train", "val", "test"):
+        for lbl in range(spec["num_labels"]):
+            rows.append({"tweet_id": len(rows), "text": "placeholder",
+                         "label": lbl, "split": split})
+    cfg.data = pd.DataFrame(rows)
+    cfg.num_labels = spec["num_labels"]
+    cfg.batch_size = spec["batch_size"]
+    cfg.img_fmt = spec["img_fmt"]
+    cfg.task_name = spec["name"]
+    cfg.classes = spec["classes"]
+    cfg.dropout = getattr(args, "dropout", 0.05)
+    cfg.weight_decay = getattr(args, "weight_decay", 0.00025)
+    cfg.lr = getattr(args, "lr", 1e-5)
+    cfg.max_length = 40 if model_name == "vilt" else 128
+    cfg.use_clip_loss = getattr(args, "use_clip_loss", False)
+    cfg.use_tim_loss = getattr(args, "use_tim_loss", False)
+    cfg.use_iadds_loss = False
+    cfg.beta_itc = args.beta_itc if cfg.use_clip_loss else None
+    cfg.beta_itm = args.beta_itm if cfg.use_tim_loss else None
+    cfg.beta_iadds = None
+    cfg.loss_str = ""
+    if cfg.use_clip_loss:
+        cfg.loss_str += "itc{}".format(cfg.beta_itc)
+    if cfg.use_tim_loss:
+        cfg.loss_str += "itm{}".format(cfg.beta_itm)
+    cfg.use_loss_correction = False
+    cfg.runtime = RuntimeConfig()
+    return cfg
+
+
 def task_spec(task: int) -> Dict[str, Any]:
     """Static (dataframe-free) view of a task's registry entry."""
     num_labels = {0: 2, 1: 2, 2: 4, 3: 3, 4: 4, 5: 2, 6: 2}[task]

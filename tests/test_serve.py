@@ -1,0 +1,137 @@
+"""Serving endpoint (cli/serve.py): HTTP classify over a trained artifact —
+micro-batched fixed-shape dispatch, empty-image text-only flow, artifact
+name-contract loading. The reference has no serving path (its closest flow
+is --load_saved_model + CSV dumps, reference run_mm_late.py:155-185)."""
+
+import base64
+import io
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/classify",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+    from socialmedia_textimage_classification_auxlosses_tpu.core import config as C
+    from socialmedia_textimage_classification_auxlosses_tpu.train.checkpoint import (
+        save_params,
+    )
+
+    tmp = tmp_path_factory.mktemp("serve")
+    args = serve.parse_args([
+        "--task", "3", "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "attention", "--arch", "tiny", "--max_batch", "4",
+        "--batch_window_ms", "40",
+    ])
+
+    # create an artifact under the run_mm_late naming contract, then load it
+    # through the default (non --model_path) derivation
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
+        build_mm_late_setup,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._common import (
+        results_dir_for,
+    )
+
+    cfg = C.serving_config(args)
+    setup = build_mm_late_setup(args, cfg)
+    stem = "bert-vit-attention_task3_seed30__"
+    path = results_dir_for(C.results_dir_mm_late, False) + stem + "net.pth"
+    save_params(path, setup.params)
+
+    predict_batch, meta = serve.build_service(args)
+    batcher = serve.MicroBatcher(predict_batch, args.max_batch,
+                                 args.batch_window_ms)
+    args.port = 0  # ephemeral
+    server = serve.make_server(args, batcher, meta)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield {"port": port, "predict": predict_batch, "meta": meta,
+           "setup": setup, "cfg": cfg}
+    server.shutdown()
+    batcher.close()
+    server.server_close()
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def test_healthz_and_classify_text_only(service):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{service['port']}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["num_labels"] == 3 and health["task"] == 3
+
+    res = _post(service["port"], {"text": "loving the game tonight!"})
+    assert res["prediction"] in (0, 1, 2)
+    assert len(res["probs"]) == 3
+    np.testing.assert_allclose(sum(res["probs"]), 1.0, rtol=1e-4)
+    assert res["class"] == service["cfg"].classes[res["prediction"]]
+
+
+def test_classify_with_image_matches_direct(service):
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 255, (64, 48, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    res = _post(service["port"], {"text": "a photo", "image_b64": b64})
+    direct = service["predict"]([("a photo", img)])[0]
+    np.testing.assert_allclose(res["probs"], direct["probs"], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_concurrent_requests_one_window_match_sequential(service):
+    """Micro-batched concurrent requests give the same per-request answers
+    as isolated dispatches (padding rows don't leak)."""
+    texts = [f"tweet number {i}" for i in range(3)]
+    solo = [_post(service["port"], {"text": t}) for t in texts]
+
+    results = [None] * 3
+
+    def call(i):
+        results[i] = _post(service["port"], {"text": texts[i]})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, ref in zip(results, solo):
+        np.testing.assert_allclose(got["probs"], ref["probs"], rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_bad_request_is_400_not_crash(service):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{service['port']}/classify",
+        data=b"{not json", headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # server still alive
+    res = _post(service["port"], {"text": "still up?"})
+    assert "prediction" in res
