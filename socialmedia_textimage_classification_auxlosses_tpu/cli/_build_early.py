@@ -37,7 +37,7 @@ def vilt_geometry(model_dir):
 
 
 def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
-                         grid_roi_fallback=True) -> Setup:
+                         grid_roi_fallback=True, roi_cache=None) -> Setup:
     model_name = args.model
     model_dir = C.MODEL_DIR_DICT.get(model_name)
     overrides = arch_overrides(args)
@@ -199,8 +199,9 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         scan = getattr(args, "scan_layers", False)
         mesh_plan, pp = _maybe_pp(args, cfg, {"scan_layers": scan},
                                   stack_pred=lxmert_stack_pred)
-        roi_cache = _ensure_roi_cache(args, cfg, data_splits,
-                                      grid_roi_fallback=grid_roi_fallback)
+        if roi_cache is None:  # serving injects a detector-matched cache
+            roi_cache = _ensure_roi_cache(args, cfg, data_splits,
+                                          grid_roi_fallback=grid_roi_fallback)
         lx_cfg = LxmertConfig(
             vocab_size=vocab, hidden=hidden, heads=heads, mlp_dim=mlp_dim,
             l_layers=(2 if args.arch != "base" else hf.get("l_layers", 9)),

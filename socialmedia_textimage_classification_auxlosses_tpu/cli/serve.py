@@ -52,6 +52,18 @@ logger = get_logger(__name__)
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="serve a trained model")
+    parser.add_argument("--model", type=str, default="mm_late",
+                        choices=["mm_late", "vilt", "lxmert", "mmbt"],
+                        help="model family; mm_late uses --txt/--img/"
+                             "--fusion; lxmert runs the NATIVE FRCNN "
+                             "detector per request (raw image -> ROI "
+                             "features -> classify)")
+    parser.add_argument("--frcnn_arch", type=str, default="full",
+                        choices=["full", "tiny"],
+                        help="(--model lxmert) detector geometry")
+    parser.add_argument("--frcnn_ckpt", type=str, default=None,
+                        help="(--model lxmert) detector checkpoint")
+    parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--txt_model_name", type=str, default="bernice",
                         choices=["bert", "bernice", "bertweet", "roberta"])
     parser.add_argument("--img_model_name", type=str, default="vit",
@@ -98,6 +110,44 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _make_detector(args):
+    """FRCNN detector for --model lxmert serving (fused single-dispatch
+    path, models/frcnn.py) — the full raw-image -> ROI -> classify flow the
+    reference needs an external torch stack for."""
+    from ..models import frcnn as FR
+
+    cfg = FR.TINY if args.frcnn_arch == "tiny" else FR.FrcnnConfig()
+    weight_path = args.frcnn_ckpt or C.MODEL_DIR_DICT.get("frcnn", "")
+    try:
+        return FR.load_frcnn(weight_path, cfg)
+    except Exception:
+        logger.warning("serve: no detector weights at %r — LXMERT serving "
+                       "uses a RANDOM-INIT detector (smoke only)",
+                       weight_path)
+        return FR.FrcnnDetector(cfg)
+
+
+def _serving_roi_cache(detector, cfg):
+    """A throwaway ROI cache matching the detector's (num_boxes, feat_dim)
+    so the LXMERT build sizes its visual projection to the detector's
+    output; rows are zeros for the synthetic registry ids (never read at
+    serve time — requests carry live detector features)."""
+    import tempfile
+
+    from ..data.cache import RoiFeatureCache
+
+    dc = detector.cfg
+    cache = RoiFeatureCache(tempfile.mkdtemp(prefix="smtc_serve_roi_"),
+                            num_boxes=dc.max_detections,
+                            feat_dim=dc.feat_dim)
+    ids = [str(i) for i in cfg.data.tweet_id]
+    cache.write(ids,
+                np.zeros((len(ids), dc.max_detections, dc.feat_dim),
+                         np.float32),
+                np.zeros((len(ids), dc.max_detections, 4), np.float32))
+    return cache
+
+
 def build_service(args):
     """Model + single fixed-shape jitted predict + request preprocessing.
 
@@ -111,14 +161,29 @@ def build_service(args):
     from ..train.checkpoint import load_params
     from ._build import build_mm_late_setup
 
-    cfg = C.serving_config(args)
-    setup = build_mm_late_setup(args, cfg)
+    family = args.model
+    detector = None
+    if family == "mm_late":
+        cfg = C.serving_config(args)
+        setup = build_mm_late_setup(args, cfg)
+        image_size = setup.pipes["test"].cfg.image_size
+    else:
+        from ._build_early import build_mm_early_setup
+
+        cfg = C.serving_config(args,
+                               model_name="vilt" if family == "vilt" else None)
+        roi_cache = None
+        if family == "lxmert":
+            detector = _make_detector(args)
+            roi_cache = _serving_roi_cache(detector, cfg)
+        setup = build_mm_early_setup(args, cfg, roi_cache=roi_cache)
+        image_size = (None if family == "lxmert"
+                      else setup.pipes["test"].cfg.image_size)
     tokenizer = setup.tokenizer
-    image_size = setup.pipes["test"].cfg.image_size
 
     if args.model_path:
         model_path = args.model_path
-    else:
+    elif family == "mm_late":
         loss_str = cfg.loss_str
         nsamples_str = ("" if args.nsamples == -1
                         else "N" + str(args.nsamples) + "_")
@@ -127,6 +192,13 @@ def build_service(args):
             args.task, args.seed, loss_str, nsamples_str)
         model_path = (results_dir_for(C.results_dir_mm_late, args.testing)
                       + stem + "net.pth")
+    else:
+        # run_mm_early artifact contract (mmbt artifacts live in the
+        # reference's results_dir_mmbt)
+        base = (C.results_dir_mmbt if family == "mmbt"
+                else C.results_dir_mm_early)
+        stem = f"{family}_task{args.task}_seed{args.seed}_{cfg.loss_str}_"
+        model_path = results_dir_for(base, args.testing) + stem + "net.pth"
     params = setup.params
     if args.random_init:
         logger.warning("serving RANDOM-INIT weights (--random_init)")
@@ -154,22 +226,38 @@ def build_service(args):
         return jax.nn.softmax(logits, axis=-1)
 
     def predict_batch(requests):
-        """requests: list of (text, image-or-None); one device dispatch."""
+        """requests: list of (text, image-or-None); one device dispatch
+        (plus, for lxmert, the detector's own dispatches)."""
         n = len(requests)
         assert 0 < n <= b
         texts = [r[0] for r in requests]
         enc = tokenizer(texts + ["placeholder"] * (b - n))
-        pixels = np.zeros((b, image_size, image_size, 3), np.uint8)
-        for i, (_, img) in enumerate(requests):
-            if img is not None:
-                # reference empty-image flow for img=None (datasets.py:168-170)
-                pixels[i] = resize_to_u8(img, image_size)
         batch = {"ids": np.asarray(enc["ids"], np.int32),
-                 "mask": np.asarray(enc["mask"], np.int32),
-                 "pixel_values": pixels}
+                 "mask": np.asarray(enc["mask"], np.int32)}
         if "token_type_ids" in enc:
             batch["token_type_ids"] = np.asarray(enc["token_type_ids"],
                                                  np.int32)
+        if detector is not None:
+            dc = detector.cfg
+            feats = np.zeros((b, dc.max_detections, dc.feat_dim), np.float32)
+            boxes = np.zeros((b, dc.max_detections, 4), np.float32)
+            with_img = [(i, img) for i, (_, img) in enumerate(requests)
+                        if img is not None]
+            if with_img:
+                outs = detector.detect_batch([im for _, im in with_img])
+                for (i, _), out in zip(with_img, outs):
+                    feats[i] = out["roi_features"]
+                    boxes[i] = out["normalized_boxes"]
+            batch["roi_features"] = feats
+            batch["roi_boxes"] = boxes
+        else:
+            pixels = np.zeros((b, image_size, image_size, 3), np.uint8)
+            for i, (_, img) in enumerate(requests):
+                if img is not None:
+                    # reference empty-image flow for img=None
+                    # (datasets.py:168-170)
+                    pixels[i] = resize_to_u8(img, image_size)
+            batch["pixel_values"] = pixels
         probs = np.asarray(_predict(params, batch))[:n]
         classes = cfg.classes
         out = []
@@ -183,8 +271,8 @@ def build_service(args):
         return out
 
     meta = {
-        "model": f"{args.txt_model_name}-{args.img_model_name}-"
-                 f"{args.fusion_name}",
+        "model": (f"{args.txt_model_name}-{args.img_model_name}-"
+                  f"{args.fusion_name}" if family == "mm_late" else family),
         "task": args.task,
         "task_name": cfg.task_name,
         "num_labels": cfg.num_labels,

@@ -123,6 +123,49 @@ def test_concurrent_requests_one_window_match_sequential(service):
                                    atol=1e-6)
 
 
+def test_vilt_service_direct():
+    """Early-fusion (ViLT) serving: fixed-shape predict over text+image."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--model", "vilt", "--arch", "tiny",
+        "--max_batch", "2", "--random_init",
+    ])
+    predict_batch, meta = serve.build_service(args)
+    assert meta["model"] == "vilt"
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (50, 60, 3), np.uint8))
+    out = predict_batch([("tweet with photo", img), ("text only", None)])
+    assert len(out) == 2
+    for res in out:
+        assert len(res["probs"]) == 3
+        np.testing.assert_allclose(sum(res["probs"]), 1.0, rtol=1e-3)
+
+
+def test_lxmert_service_runs_detector_per_request():
+    """Raw image + text -> NATIVE FRCNN ROI features -> LXMERT classify:
+    the end-to-end flow the reference needs its external torch detector
+    stack for (reference mm_early.py:10-12, obj_features.py:142-173)."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--model", "lxmert", "--arch", "tiny",
+        "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init",
+    ])
+    predict_batch, meta = serve.build_service(args)
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+    out = predict_batch([("what objects are here", img)])
+    assert len(out) == 1 and len(out[0]["probs"]) == 3
+    # image changes the answer vs text-only (ROI features flow through)
+    out2 = predict_batch([("what objects are here", None)])
+    assert not np.allclose(out[0]["probs"], out2[0]["probs"])
+
+
 def test_bad_request_is_400_not_crash(service):
     req = urllib.request.Request(
         f"http://127.0.0.1:{service['port']}/classify",
