@@ -166,6 +166,23 @@ def test_lxmert_service_runs_detector_per_request():
     assert not np.allclose(out[0]["probs"], out2[0]["probs"])
 
 
+def test_mmbt_service_direct():
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--model", "mmbt", "--arch", "tiny",
+        "--max_batch", "2", "--random_init",
+    ])
+    predict_batch, meta = serve.build_service(args)
+    assert meta["model"] == "mmbt"
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8))
+    out = predict_batch([("text with photo", img), ("only text", None)])
+    assert len(out) == 2 and all(len(r["probs"]) == 3 for r in out)
+
+
 def test_bad_request_is_400_not_crash(service):
     req = urllib.request.Request(
         f"http://127.0.0.1:{service['port']}/classify",
