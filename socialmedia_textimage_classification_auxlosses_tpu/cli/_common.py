@@ -193,16 +193,24 @@ def enable_compile_cache():
     already-exported ``JAX_COMPILATION_CACHE_DIR`` wins)."""
     if os.environ.get("SMTC_COMPILE_CACHE", "1") == "0":
         return
-    import jax
+    try:
+        import jax
 
-    path = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
-            or os.environ.get("SMTC_COMPILE_CACHE_DIR")
-            or os.path.expanduser("~/.cache/smtc_jax_cache"))
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    # cache everything that took real compile time, not just >1 GB programs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        path = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or os.environ.get("SMTC_COMPILE_CACHE_DIR")
+                or os.path.expanduser("~/.cache/smtc_jax_cache"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took real compile time, not just big programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:
+        # purely an optimization — a read-only HOME (common in serving
+        # containers) must not take the runner down
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "persistent compile cache disabled: %r", e)
 
 
 def seed_everything(seed: int, prng_impl: str = None):
@@ -215,6 +223,19 @@ def seed_everything(seed: int, prng_impl: str = None):
         # counter-based generator "threefry2x32"
         impl = {"threefry": "threefry2x32"}.get(prng_impl, prng_impl)
         jax.config.update("jax_default_prng_impl", impl)
+
+
+def artifact_stem(args, cfg, family: str = "mm_late") -> str:
+    """THE artifact naming contract (reference ``run_mm_late.py:91-96`` /
+    ``run_mm_early`` filenames) — single definition shared by the trainers
+    and the serving endpoint so artifact resolution can never drift."""
+    if family == "mm_late":
+        nsamples = getattr(args, "nsamples", -1)
+        nsamples_str = "" if nsamples == -1 else f"N{nsamples}_"
+        return "{}-{}-{}_task{}_seed{}_{}_{}".format(
+            args.txt_model_name, args.img_model_name, args.fusion_name,
+            args.task, args.seed, cfg.loss_str, nsamples_str)
+    return f"{family}_task{args.task}_seed{args.seed}_{cfg.loss_str}_"
 
 
 def results_dir_for(base: str, testing: bool) -> str:

@@ -15,8 +15,9 @@ from ..train.loop import Trainer
 from ..train.metrics import compute_metrics
 from ..utils.logging import get_logger
 from ._build_early import build_mm_early_setup
-from ._common import (add_common_args, results_dir_for, save_metrics_csv,
-                      save_predictions_csv, seed_everything)
+from ._common import (add_common_args, artifact_stem, results_dir_for,
+                      save_metrics_csv, save_predictions_csv,
+                      seed_everything)
 
 logger = get_logger(__name__)
 
@@ -77,8 +78,7 @@ def main(argv=None):
             logger.info("imported reference checkpoint %s",
                         args.import_reference_ckpt)
 
-    loss_str = cfg.loss_str
-    stem = f"{model_name}_task{args.task}_seed{args.seed}_{loss_str}_"
+    stem = artifact_stem(args, cfg, model_name)
     model_path = results_dir + stem + "net.pth" if args.save_model else None
     val_filename = results_dir + stem + "metrics_val.csv"
     te_filename = results_dir + stem + "metrics_test.csv"

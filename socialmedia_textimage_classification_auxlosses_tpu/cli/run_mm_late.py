@@ -21,8 +21,9 @@ from ..train.loop import Trainer
 from ..train.metrics import compute_metrics
 from ..utils.logging import get_logger
 from ._build import build_mm_late_setup
-from ._common import (add_common_args, results_dir_for, save_metrics_csv,
-                      save_predictions_csv, seed_everything, seq_buckets_from)
+from ._common import (add_common_args, artifact_stem, results_dir_for,
+                      save_metrics_csv, save_predictions_csv,
+                      seed_everything, seq_buckets_from)
 
 logger = get_logger(__name__)
 
@@ -114,12 +115,7 @@ def main(argv=None):
 
             enable_vision_cache(setup)
 
-    loss_str = cfg.loss_str
-    nsamples_str = "" if args.nsamples == -1 else "N" + str(args.nsamples) + "_"
-    stem = "{}-{}-{}_task{}_seed{}_{}_{}".format(
-        args.txt_model_name, args.img_model_name, args.fusion_name,
-        args.task, args.seed, loss_str, nsamples_str,
-    )
+    stem = artifact_stem(args, cfg, "mm_late")
     model_path = (results_dir + stem + "net.pth"
                   if (args.save_model or args.load_saved_model) else None)
     val_filename = results_dir + stem + "metrics_val.csv"

@@ -44,8 +44,8 @@ import numpy as np
 
 from ..core import config as C
 from ..utils.logging import get_logger
-from ._common import (ARCH_PRESETS, enable_compile_cache, results_dir_for,
-                      seed_everything)
+from ._common import (ARCH_PRESETS, artifact_stem, enable_compile_cache,
+                      results_dir_for, seed_everything)
 
 logger = get_logger(__name__)
 
@@ -96,6 +96,10 @@ def parse_args(argv=None):
     parser.add_argument("--attn_impl", type=str, default="auto")
     parser.add_argument("--arch", type=str, default="base",
                         choices=sorted(ARCH_PRESETS))
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="artifact was trained with --scan_layers "
+                             "(stacked scanned-layer param layout — must "
+                             "match to deserialize)")
     parser.add_argument("--quantize", type=str, default=None, choices=["w8"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8473)
@@ -118,13 +122,19 @@ def _make_detector(args):
 
     cfg = FR.TINY if args.frcnn_arch == "tiny" else FR.FrcnnConfig()
     weight_path = args.frcnn_ckpt or C.MODEL_DIR_DICT.get("frcnn", "")
+    if args.random_init:
+        # smoke mode: random classifier implies a random detector is fine
+        return FR.FrcnnDetector(cfg)
     try:
         return FR.load_frcnn(weight_path, cfg)
-    except Exception:
-        logger.warning("serve: no detector weights at %r — LXMERT serving "
-                       "uses a RANDOM-INIT detector (smoke only)",
-                       weight_path)
-        return FR.FrcnnDetector(cfg)
+    except Exception as e:
+        # a production endpoint must not silently serve noise ROI features:
+        # the classifier weights are strictly validated (load_params), the
+        # detector gets the same treatment
+        raise SystemExit(
+            f"serve: cannot load FRCNN detector weights from {weight_path!r}"
+            f" ({e!r}); pass --frcnn_ckpt (unc-nlp/frcnn-vg-finetuned "
+            "pytorch_model.bin) or --random_init for smoke runs")
 
 
 def _serving_roi_cache(detector, cfg):
@@ -163,10 +173,17 @@ def build_service(args):
 
     family = args.model
     detector = None
+    center_crop_from = None
     if family == "mm_late":
+        from ._build import CNN_MODELS
+
         cfg = C.serving_config(args)
         setup = build_mm_late_setup(args, cfg)
         image_size = setup.pipes["test"].cfg.image_size
+        if args.img_model_name in CNN_MODELS:
+            # match the training recipe: shorter-side 256 then center crop
+            # (_build.py image_source_fn for the CNN tower)
+            center_crop_from = 256
     else:
         from ._build_early import build_mm_early_setup
 
@@ -183,22 +200,13 @@ def build_service(args):
 
     if args.model_path:
         model_path = args.model_path
-    elif family == "mm_late":
-        loss_str = cfg.loss_str
-        nsamples_str = ("" if args.nsamples == -1
-                        else "N" + str(args.nsamples) + "_")
-        stem = "{}-{}-{}_task{}_seed{}_{}_{}".format(
-            args.txt_model_name, args.img_model_name, args.fusion_name,
-            args.task, args.seed, loss_str, nsamples_str)
-        model_path = (results_dir_for(C.results_dir_mm_late, args.testing)
-                      + stem + "net.pth")
     else:
-        # run_mm_early artifact contract (mmbt artifacts live in the
-        # reference's results_dir_mmbt)
-        base = (C.results_dir_mmbt if family == "mmbt"
-                else C.results_dir_mm_early)
-        stem = f"{family}_task{args.task}_seed{args.seed}_{cfg.loss_str}_"
-        model_path = results_dir_for(base, args.testing) + stem + "net.pth"
+        # the trainers' artifact naming contract (mmbt artifacts live in
+        # the reference's results_dir_mmbt)
+        base = {"mm_late": C.results_dir_mm_late,
+                "mmbt": C.results_dir_mmbt}.get(family, C.results_dir_mm_early)
+        model_path = (results_dir_for(base, args.testing)
+                      + artifact_stem(args, cfg, family) + "net.pth")
     params = setup.params
     if args.random_init:
         logger.warning("serving RANDOM-INIT weights (--random_init)")
@@ -244,7 +252,12 @@ def build_service(args):
             with_img = [(i, img) for i, (_, img) in enumerate(requests)
                         if img is not None]
             if with_img:
-                outs = detector.detect_batch([im for _, im in with_img])
+                # pad to the next power of two so the fused detector
+                # compiles at most log2(max_batch)+1 shapes per canvas
+                # orientation rather than one per window size
+                pad = 1 << (len(with_img) - 1).bit_length()
+                outs = detector.detect_batch([im for _, im in with_img],
+                                             pad_to=min(pad, b))
                 for (i, _), out in zip(with_img, outs):
                     feats[i] = out["roi_features"]
                     boxes[i] = out["normalized_boxes"]
@@ -256,7 +269,8 @@ def build_service(args):
                 if img is not None:
                     # reference empty-image flow for img=None
                     # (datasets.py:168-170)
-                    pixels[i] = resize_to_u8(img, image_size)
+                    pixels[i] = resize_to_u8(img, image_size,
+                                             center_crop_from=center_crop_from)
             batch["pixel_values"] = pixels
         probs = np.asarray(_predict(params, batch))[:n]
         classes = cfg.classes
@@ -298,11 +312,14 @@ class MicroBatcher:
         self._stop = False
         self._thread.start()
 
-    def submit(self, text, image):
+    def submit(self, text, image, timeout: float = 600.0):
+        if self._stop or not self._thread.is_alive():
+            raise RuntimeError("serving dispatcher is not running")
         done = threading.Event()
         slot = {"done": done}
         self._q.put((text, image, slot))
-        done.wait()
+        if not done.wait(timeout):
+            raise RuntimeError("serving dispatch timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
@@ -335,10 +352,15 @@ class MicroBatcher:
                 for (_, _, slot), res in zip(pending, results):
                     slot["result"] = res
                     slot["done"].set()
-            except Exception as e:  # surface to every waiting caller
+            except BaseException as e:  # surface to every waiting caller —
+                # a dead dispatcher would hang all future submits
+                logger.exception("serving dispatch failed for a window of "
+                                 "%d requests", len(pending))
                 for _, _, slot in pending:
-                    slot["error"] = repr(e)
+                    slot["error"] = "internal prediction failure"
                     slot["done"].set()
+                if not isinstance(e, Exception):
+                    raise
 
 
 def _decode_image(payload):
@@ -374,14 +396,18 @@ def make_server(args, batcher: MicroBatcher, meta):
             if self.path != "/classify":
                 self._send(404, {"error": "unknown path"})
                 return
-            try:
+            try:  # malformed request (bad JSON / image bytes) -> 400
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 text = payload.get("text", "")
                 image = _decode_image(payload)
-                self._send(200, batcher.submit(text, image))
             except Exception as e:
                 self._send(400, {"error": repr(e)})
+                return
+            try:  # server-side prediction failure -> 500, details in logs
+                self._send(200, batcher.submit(text, image))
+            except Exception:
+                self._send(500, {"error": "internal prediction failure"})
 
         def log_message(self, fmt, *a):
             logger.info("http: " + fmt, *a)
@@ -394,9 +420,18 @@ def main(argv=None):
     enable_compile_cache()
     seed_everything(args.seed)
     predict_batch, meta = build_service(args)
-    # warm the single compiled shape before accepting traffic
+    # warm the single compiled shape before accepting traffic — WITH an
+    # image, so --model lxmert also compiles the detector program now
+    # instead of inside the first client's request window
     t0 = time.time()
-    predict_batch([("warmup", None)])
+    warm_img = None
+    if args.model == "lxmert":
+        from PIL import Image
+
+        warm_img = Image.fromarray(
+            np.zeros((args.image_size or 224, args.image_size or 224, 3),
+                     np.uint8))
+    predict_batch([("warmup", warm_img)])
     logger.info("compiled serving shape (batch %d) in %.1fs",
                 args.max_batch, time.time() - t0)
     batcher = MicroBatcher(predict_batch, args.max_batch,

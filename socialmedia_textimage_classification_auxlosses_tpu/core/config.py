@@ -260,24 +260,32 @@ class Config:
         # Max length (reference config.py:57-60)
         self.max_length = 40 if model_name == "vilt" else 128
 
-        self.use_clip_loss = False
-        self.use_tim_loss = False
-        self.use_iadds_loss = False
-        self.beta_itc = None
-        self.beta_itm = None
-        self.beta_iadds = None
-        self.loss_str = ""
-        if multimodal:
-            self.use_clip_loss = getattr(args, "use_clip_loss", False)
-            self.use_tim_loss = getattr(args, "use_tim_loss", False)
-            self.beta_itc = args.beta_itc if self.use_clip_loss else None
-            self.beta_itm = args.beta_itm if self.use_tim_loss else None
-            if self.use_clip_loss:
-                self.loss_str += "itc{}".format(self.beta_itc)
-            if self.use_tim_loss:
-                self.loss_str += "itm{}".format(self.beta_itm)
-        self.use_loss_correction = False
+        _apply_aux_loss_flags(self, args, multimodal)
         self.runtime = runtime or RuntimeConfig()
+
+
+def _apply_aux_loss_flags(cfg, args, multimodal: bool = True) -> None:
+    """Aux-loss flags + the ``loss_str`` artifact tag (reference
+    ``config.py:62-77``) — shared by ``Config.__init__`` and
+    ``serving_config`` so the tag (part of every artifact filename) has one
+    definition."""
+    cfg.use_clip_loss = False
+    cfg.use_tim_loss = False
+    cfg.use_iadds_loss = False
+    cfg.beta_itc = None
+    cfg.beta_itm = None
+    cfg.beta_iadds = None
+    cfg.loss_str = ""
+    if multimodal:
+        cfg.use_clip_loss = getattr(args, "use_clip_loss", False)
+        cfg.use_tim_loss = getattr(args, "use_tim_loss", False)
+        cfg.beta_itc = args.beta_itc if cfg.use_clip_loss else None
+        cfg.beta_itm = args.beta_itm if cfg.use_tim_loss else None
+        if cfg.use_clip_loss:
+            cfg.loss_str += "itc{}".format(cfg.beta_itc)
+        if cfg.use_tim_loss:
+            cfg.loss_str += "itm{}".format(cfg.beta_itm)
+    cfg.use_loss_correction = False
 
 
 def serving_config(args, model_name=None) -> "Config":
@@ -309,18 +317,7 @@ def serving_config(args, model_name=None) -> "Config":
     cfg.weight_decay = getattr(args, "weight_decay", 0.00025)
     cfg.lr = getattr(args, "lr", 1e-5)
     cfg.max_length = 40 if model_name == "vilt" else 128
-    cfg.use_clip_loss = getattr(args, "use_clip_loss", False)
-    cfg.use_tim_loss = getattr(args, "use_tim_loss", False)
-    cfg.use_iadds_loss = False
-    cfg.beta_itc = args.beta_itc if cfg.use_clip_loss else None
-    cfg.beta_itm = args.beta_itm if cfg.use_tim_loss else None
-    cfg.beta_iadds = None
-    cfg.loss_str = ""
-    if cfg.use_clip_loss:
-        cfg.loss_str += "itc{}".format(cfg.beta_itc)
-    if cfg.use_tim_loss:
-        cfg.loss_str += "itm{}".format(cfg.beta_itm)
-    cfg.use_loss_correction = False
+    _apply_aux_loss_flags(cfg, args, multimodal=True)
     cfg.runtime = RuntimeConfig()
     return cfg
 

@@ -41,19 +41,22 @@ def service(tmp_path_factory):
         "--batch_window_ms", "40",
     ])
 
-    # create an artifact under the run_mm_late naming contract, then load it
+    # create an artifact under the run_mm_late naming contract — in a
+    # SANDBOXED results dir (never the user's real one) — then load it
     # through the default (non --model_path) derivation
     from socialmedia_textimage_classification_auxlosses_tpu.cli._build import (
         build_mm_late_setup,
     )
     from socialmedia_textimage_classification_auxlosses_tpu.cli._common import (
-        results_dir_for,
+        artifact_stem, results_dir_for,
     )
 
     cfg = C.serving_config(args)
     setup = build_mm_late_setup(args, cfg)
-    stem = "bert-vit-attention_task3_seed30__"
-    path = results_dir_for(C.results_dir_mm_late, False) + stem + "net.pth"
+    prior_dir = C.results_dir_mm_late
+    C.results_dir_mm_late = str(tmp) + "/mm_late/"
+    path = (results_dir_for(C.results_dir_mm_late, False)
+            + artifact_stem(args, cfg, "mm_late") + "net.pth")
     save_params(path, setup.params)
 
     predict_batch, meta = serve.build_service(args)
@@ -69,8 +72,7 @@ def service(tmp_path_factory):
     server.shutdown()
     batcher.close()
     server.server_close()
-    if os.path.exists(path):
-        os.remove(path)
+    C.results_dir_mm_late = prior_dir
 
 
 def test_healthz_and_classify_text_only(service):
