@@ -310,7 +310,19 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = False
+        # served-traffic counters (surfaced on /healthz)
+        self.requests = 0
+        self.windows = 0
+        self.errors = 0
+        self.dispatch_seconds = 0.0
         self._thread.start()
+
+    def stats(self) -> dict:
+        w = max(self.windows, 1)
+        return {"requests": self.requests, "windows": self.windows,
+                "errors": self.errors,
+                "mean_batch": round(self.requests / w, 2),
+                "mean_dispatch_ms": round(self.dispatch_seconds / w * 1e3, 2)}
 
     def submit(self, text, image, timeout: float = 600.0):
         if self._stop or not self._thread.is_alive():
@@ -347,8 +359,12 @@ class MicroBatcher:
                 if item is None:
                     break
                 pending.append(item)
+            t0 = time.monotonic()
             try:
                 results = self._predict([(t, im) for t, im, _ in pending])
+                self.windows += 1
+                self.requests += len(pending)
+                self.dispatch_seconds += time.monotonic() - t0
                 for (_, _, slot), res in zip(pending, results):
                     slot["result"] = res
                     slot["done"].set()
@@ -356,6 +372,7 @@ class MicroBatcher:
                 # a dead dispatcher would hang all future submits
                 logger.exception("serving dispatch failed for a window of "
                                  "%d requests", len(pending))
+                self.errors += len(pending)
                 for _, _, slot in pending:
                     slot["error"] = "internal prediction failure"
                     slot["done"].set()
@@ -388,7 +405,8 @@ def make_server(args, batcher: MicroBatcher, meta):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok", **meta})
+                self._send(200, {"status": "ok", **meta,
+                                 **batcher.stats()})
             else:
                 self._send(404, {"error": "unknown path"})
 

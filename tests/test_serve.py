@@ -81,6 +81,8 @@ def test_healthz_and_classify_text_only(service):
         health = json.loads(r.read())
     assert health["status"] == "ok"
     assert health["num_labels"] == 3 and health["task"] == 3
+    assert {"requests", "windows", "errors", "mean_batch",
+            "mean_dispatch_ms"} <= set(health)
 
     res = _post(service["port"], {"text": "loving the game tonight!"})
     assert res["prediction"] in (0, 1, 2)
