@@ -109,6 +109,12 @@ TINY = FrcnnConfig(
     rpn_post_nms_topk=16, max_detections=5, min_detections=5, num_classes=7,
     feat_dim=64, pooler_resolution=4, min_size=64, max_size=96,
     box_score_thresh=0.0,
+    # damp decoded shifts so RANDOM-INIT smoke tests keep live proposals
+    # regardless of the PRNG draw (an untrained deltas head emits +-50-100;
+    # at weights (1,..) every box decodes off-canvas and the detector
+    # correctly returns zero regions). Trained checkpoints use the full
+    # config; the torch twin shares this cfg so parity is unaffected.
+    rpn_bbox_weights=(25.0, 25.0, 12.5, 12.5),
 )
 
 

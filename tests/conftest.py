@@ -55,6 +55,19 @@ def _drop_jax_state_between_modules():
     jax.clear_caches()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _restore_prng_impl():
+    """CLI runs inside tests set ``jax_default_prng_impl`` (rbg/threefry)
+    globally via seed_everything; a leaked impl changes every later
+    module's random-init draws (an rbg leak made the lxmert serve smoke
+    detect zero regions in full-suite order only). Restore around each
+    module so tests see the impl they were written against."""
+    prior = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prior:
+        jax.config.update("jax_default_prng_impl", prior)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
