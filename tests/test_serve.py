@@ -187,6 +187,34 @@ def test_mmbt_service_direct():
     assert len(out) == 2 and all(len(r["probs"]) == 3 for r in out)
 
 
+def test_internal_failure_is_500_and_batcher_survives():
+    """A prediction failure returns 500 (not 400), reports a generic
+    message, counts in stats, and the dispatcher keeps serving."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    calls = {"n": 0}
+
+    def flaky_predict(requests):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("secret internal detail")
+        return [{"prediction": 0, "class": None, "probs": [1.0]}
+                for _ in requests]
+
+    batcher = serve.MicroBatcher(flaky_predict, max_batch=2, window_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="internal prediction"):
+            batcher.submit("boom", None)
+        assert batcher.stats()["errors"] == 1
+        res = batcher.submit("fine", None)
+        assert res["prediction"] == 0
+        assert batcher.stats()["requests"] == 1
+    finally:
+        batcher.close()
+    with pytest.raises(RuntimeError, match="not running"):
+        batcher.submit("after close", None)
+
+
 def test_bad_request_is_400_not_crash(service):
     req = urllib.request.Request(
         f"http://127.0.0.1:{service['port']}/classify",
