@@ -279,6 +279,21 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
             **tim_kw,
         )
 
+    if quantize is None:
+        # eval/serving bf16 parameter pre-cast (utils/cast.py): perform the
+        # step's own f32->bf16 weight rounding once so the compiled step
+        # streams half the tower bytes from HBM. Bitwise-exact
+        # (tests/test_eval_cast.py).
+        from socialmedia_textimage_classification_auxlosses_tpu.utils.cast import (
+            cast_params_for_eval, eval_cast_bytes_saved,
+        )
+
+        saved = eval_cast_bytes_saved(params, jnp.dtype(dtype))
+        params = cast_params_for_eval(params, jnp.dtype(dtype))
+        if saved:
+            print(f"# eval pre-cast: {saved / 2**20:.0f} MiB of f32 weight "
+                  "bytes removed from the resident params / per-pass reads",
+                  file=sys.stderr)
     if quantize == "w8":
         # weight-only int8 serving quantization (ops/quant.py): kernels
         # stream as int8 and dequantize inside the compiled step

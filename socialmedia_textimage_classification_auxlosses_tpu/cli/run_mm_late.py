@@ -178,6 +178,13 @@ def main(argv=None):
             trainer.eval_many = make_eval_many(qfwd, setup.loss_cfg,
                                                setup.class_weights)
             logger.info("w8 serving quantization enabled")
+        else:
+            # eval-only bf16 parameter pre-cast: bitwise-exact halving of the
+            # eval step's weight HBM streaming (utils/cast.py,
+            # tests/test_eval_cast.py)
+            from ..utils.cast import cast_params_for_eval
+
+            trainer.params = cast_params_for_eval(trainer.params, args.dtype)
         predictions = trainer.evaluate(setup.pipes["test"])
         save_predictions_csv(predictions, results_dir + stem + "preds_lm.csv")
         metrics = compute_metrics(predictions, cfg.num_labels,

@@ -221,6 +221,14 @@ def build_service(args):
         forward = make_quantized_eval_forward(forward)
         params = quantize_w8(params)
         logger.info("w8 serving quantization enabled")
+    else:
+        # serving bf16 parameter pre-cast (utils/cast.py): the step's own
+        # f32->compute-dtype rounding done once, halving resident weight
+        # memory and per-step HBM weight reads. Bitwise-exact per family
+        # (tests/test_eval_cast.py).
+        from ..utils.cast import cast_params_for_eval
+
+        params = cast_params_for_eval(params, args.dtype)
 
     multilabel = cfg.multilabel
     b = args.max_batch
