@@ -84,7 +84,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
                  steps_per_dispatch: int = 1, prng_impl: str = "rbg",
                  batch: int = BATCH, opt_moments: str = "f32",
-                 opt_kernel: str = "fused", tim_reuse: bool = False):
+                 opt_kernel: str = "fused", tim_reuse: bool = False,
+                 scan_layers: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +108,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     model, params, batch = G._flagship(arch="base", dtype=dtype,
                                        attn_impl=attn_impl, batch=bsz,
                                        seq_len=SEQ, image_size=IMG,
-                                       num_labels=NUM_LABELS)
+                                       num_labels=NUM_LABELS,
+                                       scan_layers=scan_layers)
 
     if cache_vision:
         # steady-state step under --cache_vision: the frozen tower's
@@ -642,6 +644,12 @@ def main():
                         choices=["fused", "optax"],
                         help="fused = one-tree_map AdamW (identical math, "
                              "equivalence-tested; the CLI default)")
+    parser.add_argument("--scan_layers", action="store_true",
+                        default=os.environ.get("SMTC_BENCH_SCAN") == "1",
+                        help="ablation: lax.scan over encoder layers "
+                             "(stacked [L,...] params -> the optimizer's "
+                             "~100 per-leaf update fusions collapse into a "
+                             "few stacked ops; same math)")
     parser.add_argument("--tim_reuse_text", action="store_true",
                         default=os.environ.get("SMTC_BENCH_TIM_REUSE") == "1",
                         help="ablation: TIM text-tower activation reuse "
@@ -722,7 +730,7 @@ def main():
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
             opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
-            tim_reuse=args.tim_reuse_text)
+            tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
     except Exception:
         # Pallas unavailable on this backend: fall back to the XLA path.
         steps_per_sec, loss, flops = measure_ours(
@@ -731,7 +739,7 @@ def main():
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
             opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
-            tim_reuse=args.tim_reuse_text)
+            tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
 
     import jax
 
