@@ -93,10 +93,27 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
         kept + [f"--xla_force_host_platform_device_count={n_devices}"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(
-        [sys.executable, "-m",
-         f"socialmedia_textimage_classification_auxlosses_tpu.cli.{cli_module}"]
-        + list(args),
-        env=env, cwd=repo, capture_output=True, text=True, timeout=timeout)
+    # One retry on the KNOWN-TRANSIENT rendezvous abort only: on this 1-core
+    # host the XLA-CPU collective rendezvous can CHECK-abort when the
+    # partition threads starve past even the generous timeout under full-
+    # suite load (observed ~1/3 full-suite runs; the same test always passes
+    # isolated). Deterministic failures don't match the pattern and still
+    # fail on the first attempt's output.
+    _TRANSIENT = ("to join the rendezvous", "rendezvous timed out",
+                  "termination timeout")
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, "-m",
+             f"socialmedia_textimage_classification_auxlosses_tpu.cli.{cli_module}"]
+            + list(args),
+            env=env, cwd=repo, capture_output=True, text=True, timeout=timeout)
+        if proc.returncode == 0:
+            break
+        blob = proc.stdout[-4000:] + proc.stderr[-4000:]
+        if attempt == 1 and any(t in blob for t in _TRANSIENT):
+            print(f"[fixtures] transient collective-rendezvous abort in "
+                  f"{cli_module}; retrying once", file=sys.stderr)
+            continue
+        break
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     return tmp_path / "results"

@@ -1,0 +1,70 @@
+"""Opt-in perf tool: FRCNN detector throughput at full geometry.
+
+Measures warm seconds/image for the staged vs fused single-dispatch
+detection paths (``models/frcnn.py``) at the offline cacher's batching
+(groups of 8 same-orientation images), random-init weights (throughput is
+weight-value-independent). BASELINE.md quotes the result.
+
+Usage (real chip):
+    python tests/perf_frcnn.py [--batch 8] [--reps 5] [--images 480 640]
+
+Not collected by pytest (perf_ prefix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--images", type=int, nargs=2, default=(480, 640),
+                    help="input H W (the MVSA/common social-media shape)")
+    ap.add_argument("--staged", action="store_true",
+                    help="also time the staged (non-fused) path")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import bench as B
+    B.enable_compile_cache()
+
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        frcnn as FR,
+    )
+
+    h, w = args.images
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (h, w, 3), np.uint8)
+            for _ in range(args.batch)]
+    det = FR.FrcnnDetector(FR.FrcnnConfig())
+
+    for fused in ([True, False] if args.staged else [True]):
+        label = "fused" if fused else "staged"
+        t0 = time.perf_counter()
+        out = det.detect_batch(imgs, fused=fused)
+        print(f"# {label}: cold (compile) {time.perf_counter() - t0:.1f} s",
+              file=sys.stderr)
+        best = float("inf")
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            out = det.detect_batch(imgs, fused=fused)
+            dt = time.perf_counter() - t0
+            best = min(best, dt / args.batch)
+            print(f"# {label} rep {r}: {dt / args.batch * 1e3:.0f} ms/image",
+                  file=sys.stderr)
+        assert out[0]["roi_features"].shape[0] == det.cfg.max_detections
+        print(f"{label}: {best * 1e3:.0f} ms/image warm "
+              f"({1.0 / best:.2f} images/s) at {h}x{w}, batch {args.batch}")
+
+
+if __name__ == "__main__":
+    main()
