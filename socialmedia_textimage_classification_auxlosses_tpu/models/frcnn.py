@@ -428,44 +428,84 @@ def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None):
     return keep, jnp.minimum(cnt, max_out)
 
 
+def _roi_sample_coords(bx, p, s, spatial_scale):
+    """Per-ROI bilinear sample coordinates (torchvision aligned=False legacy
+    semantics, fixed ``sampling_ratio``). Returns (ys, xs) of shape
+    (n, P, S) each — the grid is a Cartesian product (ys independent of the
+    x sample index and vice versa), which is what lets the sample average
+    factor into separable per-axis interpolation matrices below."""
+    x0 = bx[:, 0] * spatial_scale
+    y0 = bx[:, 1] * spatial_scale
+    x1 = bx[:, 2] * spatial_scale
+    y1 = bx[:, 3] * spatial_scale
+    roi_w = jnp.maximum(x1 - x0, 1.0)
+    roi_h = jnp.maximum(y1 - y0, 1.0)
+    # sample positions: start + (bin + (i+0.5)/S) * bin_size
+    grid = (jnp.arange(p)[:, None] + (jnp.arange(s)[None] + 0.5) / s)
+    ys = y0[:, None, None] + grid[None] * (roi_h / p)[:, None, None]
+    xs = x0[:, None, None] + grid[None] * (roi_w / p)[:, None, None]
+    return ys, xs
+
+
+def _interp_axis(coord, size):
+    # torchvision semantics: samples below -1 or beyond size contribute 0;
+    # in-range coords clamp to [0, size-1]
+    valid = (coord >= -1.0) & (coord <= size)
+    c = jnp.clip(coord, 0.0, size - 1.0)
+    i0 = jnp.floor(c).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    frac = c - i0
+    return (i0, i1, jnp.where(valid, 1.0 - frac, 0.0),
+            jnp.where(valid, frac, 0.0))
+
+
+def _interp_matrix(coord, size, s):
+    """(n, P, S) sample coordinates -> (n, P, size) interpolation matrix:
+    row (n, p) holds the two bilinear taps of each of the S samples, scaled
+    1/S (the per-axis half of the bin's sample average). Built by one-hot
+    accumulation so coincident taps (clamped edges) sum, exactly like
+    gathering both and adding."""
+    i0, i1, w0, w1 = _interp_axis(coord, size)
+    oh0 = jax.nn.one_hot(i0, size, dtype=w0.dtype)         # (n,P,S,size)
+    oh1 = jax.nn.one_hot(i1, size, dtype=w0.dtype)
+    return jnp.einsum("nps,npsh->nph", w0 / s, oh0) + jnp.einsum(
+        "nps,npsh->nph", w1 / s, oh1)
+
+
 def roi_align(fmap, boxes, *, output_size: int, spatial_scale: float,
-              sampling_ratio: int, chunk: int = 32):
+              sampling_ratio: int, chunk: int = 32, impl: str = "mm"):
     """ROIAlign, aligned=False legacy coordinates (torchvision/Detectron
     semantics at fixed ``sampling_ratio``): bilinear samples averaged per
     output bin. ``fmap``: (H, W, C); ``boxes``: (N, 4) x0,y0,x1,y1 in image
-    coordinates. Chunked with ``lax.map`` so the (chunk, P, P, S, S, C)
-    sample tensor bounds HBM at full detector scale."""
+    coordinates. Chunked with ``lax.map`` so the per-chunk intermediate
+    bounds HBM at full detector scale.
+
+    ``impl="mm"`` (default): the pooling runs as TWO interpolation matmuls
+    on the MXU — out[n,py,px,:] = Ky[n,py,:] @ fmap @ Kx[n,px,:]^T with the
+    per-bin sample average folded into Ky/Kx. Because the sample grid is a
+    Cartesian product, this is algebraically IDENTICAL to sampling then
+    averaging (mean_s mean_t sum_hw wy_s[h] wx_t[w] v[h,w] factorises); only
+    f32 summation order differs (torch-twin parity at rtol 1e-5,
+    tests/test_frcnn.py). The gather form (``impl="gather"``) moved 4
+    corner-gathers of (n,P,S,P,S,C) through HBM — ~65% of the fused
+    detector's device time at full geometry (BASELINE.md round-3 profile);
+    the matmul form rides the MXU at ~1/9 the cost.
+    """
     h, w, c = fmap.shape
     p = output_size
     s = sampling_ratio
 
-    def pool_chunk(bx):  # (chunk, 4)
-        x0 = bx[:, 0] * spatial_scale
-        y0 = bx[:, 1] * spatial_scale
-        x1 = bx[:, 2] * spatial_scale
-        y1 = bx[:, 3] * spatial_scale
-        roi_w = jnp.maximum(x1 - x0, 1.0)
-        roi_h = jnp.maximum(y1 - y0, 1.0)
-        bin_w = roi_w / p                                    # (n,)
-        bin_h = roi_h / p
-        # sample positions: start + (bin + (i+0.5)/S) * bin_size
-        grid = (jnp.arange(p)[:, None] + (jnp.arange(s)[None] + 0.5) / s)
-        ys = y0[:, None, None] + grid[None] * bin_h[:, None, None]  # (n,P,S)
-        xs = x0[:, None, None] + grid[None] * bin_w[:, None, None]
+    def pool_chunk_mm(bx):  # (chunk, 4)
+        ys, xs = _roi_sample_coords(bx, p, s, spatial_scale)
+        ky = _interp_matrix(ys, h, s)                        # (n,P,H)
+        kx = _interp_matrix(xs, w, s)                        # (n,P,W)
+        tmp = jnp.einsum("nph,hwc->npwc", ky, fmap)          # (n,P,W,C)
+        return jnp.einsum("nqw,npwc->npqc", kx, tmp)         # (n,P,P,C)
 
-        def interp_axis(coord, size):
-            # torchvision semantics: samples below -1 or beyond size
-            # contribute 0; in-range coords clamp to [0, size-1]
-            valid = (coord >= -1.0) & (coord <= size)
-            c = jnp.clip(coord, 0.0, size - 1.0)
-            i0 = jnp.floor(c).astype(jnp.int32)
-            i1 = jnp.minimum(i0 + 1, size - 1)
-            frac = c - i0
-            return (i0, i1, jnp.where(valid, 1.0 - frac, 0.0),
-                    jnp.where(valid, frac, 0.0))
-
-        yi0, yi1, wy0, wy1 = interp_axis(ys, h)              # (n,P,S)
-        xi0, xi1, wx0, wx1 = interp_axis(xs, w)
+    def pool_chunk_gather(bx):  # (chunk, 4)
+        ys, xs = _roi_sample_coords(bx, p, s, spatial_scale)
+        yi0, yi1, wy0, wy1 = _interp_axis(ys, h)             # (n,P,S)
+        xi0, xi1, wx0, wx1 = _interp_axis(xs, w)
         flat = fmap.reshape(h * w, c)
 
         def gather(yy, xx):                                  # (n,P,S),(n,P,S)
@@ -480,6 +520,7 @@ def roi_align(fmap, boxes, *, output_size: int, spatial_scale: float,
                gather(yi1, xi1) * wgt(wy1, wx1))             # (n,P,S,P,S,C)
         return jnp.mean(val, axis=(2, 4))                    # (n,P,P,C)
 
+    pool_chunk = pool_chunk_mm if impl == "mm" else pool_chunk_gather
     n = boxes.shape[0]
     if n <= chunk:
         return pool_chunk(boxes)

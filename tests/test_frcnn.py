@@ -55,6 +55,28 @@ def test_roi_align_parity(rng):
                                atol=1e-5)
 
 
+def test_roi_align_mm_equals_gather(rng):
+    """The MXU (separable interpolation matmul) ROIAlign computes the same
+    sample-averaged bilinear pooling as the 4-corner gather form — the sum
+    over samples factorises because the sample grid is a Cartesian product
+    (models/frcnn.py::roi_align docstring); only f32 order differs."""
+    import jax.numpy as jnp
+
+    fmap = jnp.asarray(rng.rand(7, 11, 6).astype(np.float32) * 10)
+    boxes = np.asarray([
+        [0.0, 0.0, 40.0, 30.0],
+        [10.0, 5.0, 90.0, 60.0],
+        [-5.0, -5.0, 20.0, 20.0],
+        [100.0, 80.0, 170.0, 110.0],
+        [7.3, 2.9, 7.9, 3.4],
+    ], np.float32)
+    kw = dict(output_size=3, spatial_scale=1.0 / 16, sampling_ratio=2)
+    mm = FR.roi_align(fmap, jnp.asarray(boxes), impl="mm", **kw)
+    ga = FR.roi_align(fmap, jnp.asarray(boxes), impl="gather", **kw)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ga),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_roi_align_chunked_equals_unchunked(rng):
     import jax.numpy as jnp
 
