@@ -378,7 +378,23 @@ def greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float,
     return np.asarray(keep, np.int64)
 
 
-def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None):
+def _pairwise_iou(boxes_a, boxes_b):
+    """(A, 4) x (B, 4) -> (A, B) IoU (xyxy; degenerate boxes -> 0)."""
+    ax0, ay0, ax1, ay1 = (boxes_a[:, i] for i in range(4))
+    bx0, by0, bx1, by1 = (boxes_b[:, i] for i in range(4))
+    area_a = jnp.maximum(ax1 - ax0, 0) * jnp.maximum(ay1 - ay0, 0)
+    area_b = jnp.maximum(bx1 - bx0, 0) * jnp.maximum(by1 - by0, 0)
+    xx0 = jnp.maximum(ax0[:, None], bx0[None])
+    yy0 = jnp.maximum(ay0[:, None], by0[None])
+    xx1 = jnp.minimum(ax1[:, None], bx1[None])
+    yy1 = jnp.minimum(ay1[:, None], by1[None])
+    inter = jnp.maximum(xx1 - xx0, 0) * jnp.maximum(yy1 - yy0, 0)
+    union = area_a[:, None] + area_b[None] - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None,
+                    block: int = 64):
     """Exact greedy NMS on device over boxes ALREADY SORTED by score
     descending (dead rows sorted to the back). Semantics identical to
     ``greedy_nms``: a kept box suppresses every later box with IoU strictly
@@ -392,40 +408,72 @@ def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None):
     path's per-class NMS loop (``_select_detections``), with no coordinate
     offsetting (bit-exact boxes).
 
-    Runs as a ``lax.while_loop`` whose bound is the number of live rows —
-    a few thousand tiny vector steps entirely on device, replacing the
-    fetch-6000-boxes-to-host + numpy-NMS round trip that dominated the
-    staged detector's warm latency (BASELINE.md round-3 detector profile).
-    Returns ``(keep mask, kept count)``.
+    BLOCKED greedy (TPU-shaped): ``block`` rows per outer ``while_loop``
+    step instead of one. Each step (a) resolves exact greedy WITHIN the
+    block by the self-suppression fixpoint — iterate
+    ``kb <- entry & ~any(j<i: kb[j] & iou>t)`` until stable, which converges
+    to the greedy recurrence's unique solution in at most the block's
+    suppression-chain depth (by induction: row i is final once rows <i are)
+    — then (b) suppresses every later row against the block's kept boxes in
+    ONE (block x N) matrix op. A row-at-a-time loop here cost up to 6000
+    sequencer-bound iterations per image — ~70 ms/image of the fused
+    detector (BASELINE.md round-3b profile); blocking cuts the sequential
+    depth ~15x at identical surfaced results.
+
+    Early stop quantises to block boundaries: the processed prefix then
+    contains >= ``max_out`` kept rows with exact greedy flags, so the first
+    ``max_out`` kept-in-order rows — the only ones callers surface — match
+    the row-at-a-time scan exactly (extra tail suppression beyond the stop
+    row can only touch rows ranked after the cut). Returns
+    ``(keep mask, kept count clamped to max_out)``.
     """
     n = boxes.shape[0]
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    b = min(block, n)
+    pad = (-n) % b
+    nb = (n + pad) // b
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    keep0 = jnp.pad(alive, (0, pad))
+    group_p = None if group is None else jnp.pad(group, (0, pad),
+                                                 constant_values=-1)
     nlive = jnp.sum(alive.astype(jnp.int32))
-    rows = jnp.arange(n)
+    tri = jnp.triu(jnp.ones((b, b), bool), k=1)  # [j, i]: j < i suppressors
+    rows_all = jnp.arange(n + pad)
 
     def cond(state):
-        i, _, cnt = state
-        return (i < nlive) & (cnt < max_out)
+        blk, _, cnt = state
+        return (blk < nb) & (cnt < max_out) & (blk * b < nlive)
 
     def body(state):
-        i, keep, cnt = state
-        ki = keep[i]
-        xx0 = jnp.maximum(x0[i], x0)
-        yy0 = jnp.maximum(y0[i], y0)
-        xx1 = jnp.minimum(x1[i], x1)
-        yy1 = jnp.minimum(y1[i], y1)
-        inter = jnp.maximum(xx1 - xx0, 0) * jnp.maximum(yy1 - yy0, 0)
-        union = areas[i] + areas - inter
-        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-        sup = (rows > i) & (iou > thresh) & ki
-        if group is not None:
-            sup = sup & (group == group[i])
-        return i + 1, keep & ~sup, cnt + ki.astype(jnp.int32)
+        blk, keep, cnt = state
+        start = blk * b
+        blk_boxes = jax.lax.dynamic_slice(boxes_p, (start, 0), (b, 4))
+        entry = jax.lax.dynamic_slice(keep, (start,), (b,))
+        iou_bn = _pairwise_iou(blk_boxes, boxes_p)            # (b, N)
+        sup_bn = iou_bn > thresh
+        if group_p is not None:
+            blk_group = jax.lax.dynamic_slice(group_p, (start,), (b,))
+            sup_bn = sup_bn & (blk_group[:, None] == group_p[None])
+        sup_bb = jax.lax.dynamic_slice(sup_bn, (0, start), (b, b)) & tri
+
+        def fix_cond(s):
+            _, changed = s
+            return changed
+
+        def fix_body(s):
+            kb, _ = s
+            kb2 = entry & ~jnp.any(sup_bb & kb[:, None], axis=0)
+            return kb2, jnp.any(kb2 != kb)
+
+        kb, _ = jax.lax.while_loop(fix_cond, fix_body,
+                                   (entry, jnp.bool_(True)))
+        later = rows_all >= start + b
+        sup_later = jnp.any(sup_bn & kb[:, None], axis=0) & later
+        keep = jax.lax.dynamic_update_slice(keep, kb, (start,)) & ~sup_later
+        return blk + 1, keep, cnt + jnp.sum(kb.astype(jnp.int32))
 
     _, keep, cnt = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), alive, jnp.int32(0)))
-    return keep, jnp.minimum(cnt, max_out)
+        cond, body, (jnp.int32(0), keep0, jnp.int32(0)))
+    return keep[:n], jnp.minimum(cnt, max_out)
 
 
 def _roi_sample_coords(bx, p, s, spatial_scale):

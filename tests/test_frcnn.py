@@ -208,6 +208,61 @@ def test_nms_keep_device_matches_host(rng):
         np.testing.assert_array_equal(np.sort(got[:cnt]), np.sort(ref))
 
 
+def test_nms_keep_device_blocked_stress(rng):
+    """The blocked greedy NMS (self-suppression fixpoint per block + one
+    matrix suppression of later rows) must surface exactly the row-at-a-time
+    greedy results across block-boundary shapes: n below / equal to / above
+    / non-multiple of the block, with heavy overlap (deep suppression
+    chains), grouped and ungrouped, with and without the max_out early stop
+    (which quantises to block boundaries — surfaced rows must not care)."""
+    import jax.numpy as jnp
+
+    for trial, (n, block, max_out, grouped) in enumerate([
+            (5, 8, 5, False),       # n < block
+            (16, 8, 16, False),     # n == 2 blocks exact
+            (37, 8, 37, True),      # non-multiple, grouped
+            (60, 8, 9, False),      # early stop mid-block
+            (120, 16, 120, True),   # full pass, grouped
+            (90, 32, 20, True),     # early stop, grouped
+    ]):
+        r = np.random.RandomState(100 + trial)
+        # tight cluster centres -> deep suppression chains
+        centers = r.rand(n, 2) * 20
+        boxes = np.concatenate([centers, centers + 5 + r.rand(n, 2) * 4], 1)
+        scores = r.rand(n).astype(np.float32)
+        alive = r.rand(n) > 0.15
+        group = (r.randint(0, 3, n) if grouped else None)
+        order = np.argsort(np.where(alive, -scores, np.inf), kind="stable")
+        sb = boxes[order].astype(np.float32)
+        sa = alive[order]
+        sg = None if group is None else group[order]
+        keep, cnt = FR.nms_keep_device(
+            jnp.asarray(sb), jnp.asarray(sa), 0.5, max_out,
+            group=None if sg is None else jnp.asarray(sg), block=block)
+        keep, cnt = np.asarray(keep), int(cnt)
+        got = np.nonzero(keep)[0][:max_out]
+        # reference: independent host greedy per group over the alive subset
+        ref_keep = np.zeros(n, bool)
+        live_rows = np.nonzero(sa)[0]
+        if sg is None:
+            kept = FR.greedy_nms(sb[live_rows],
+                                 -np.arange(len(live_rows), dtype=np.float32),
+                                 0.5, max_out=n)
+            ref_keep[live_rows[kept]] = True
+        else:
+            for g in np.unique(sg[live_rows]):
+                rows = live_rows[sg[live_rows] == g]
+                kept = FR.greedy_nms(sb[rows],
+                                     -np.arange(len(rows), dtype=np.float32),
+                                     0.5, max_out=n)
+                ref_keep[rows[kept]] = True
+        ref_all = np.nonzero(ref_keep)[0]
+        assert cnt == min(len(ref_all), max_out), (trial, cnt, len(ref_all))
+        # surfaced rows: the first cnt kept rows in score order
+        np.testing.assert_array_equal(got[:cnt], ref_all[:cnt],
+                                      err_msg=f"trial {trial}")
+
+
 def test_obj_features_cli_frcnn_source(tmp_path, monkeypatch):
     """Raw images -> ROI cache through the real CLI (--obj_source frcnn):
     COVERAGE row 35 — no reference dumps involved; the LXMERT build's
