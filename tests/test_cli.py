@@ -68,6 +68,31 @@ def test_run_mm_late_end_to_end_with_aux(task3):
     assert list(preds.columns) == ["data_id", "label", "prediction"]
 
 
+def test_run_mm_late_load_saved_model_bf16_precast(task3):
+    """The bf16 eval-only path (where the utils/cast.py parameter pre-cast
+    actually engages — it is a no-op at f32) trains, saves, reloads and
+    evaluates end-to-end with the full artifact contract, deterministically
+    across two eval runs."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
+
+    base = [
+        "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "concat", "--task", "3",
+        "--arch", "tiny", "--dtype", "bfloat16", "--attn_impl", "jnp",
+        "--epochs", "1", "--log_every", "1",
+    ]
+    run_mm_late.main(base + ["--save_model"])
+    stem = C.results_dir_mm_late + "bert-vit-concat_task3_seed30__"
+    run_mm_late.main(base + ["--load_saved_model"])
+    first = pd.read_csv(stem + "preds_lm.csv")
+    metrics1 = open(stem + "metrics_lm.csv").read()
+    run_mm_late.main(base + ["--load_saved_model"])
+    second = pd.read_csv(stem + "preds_lm.csv")
+    assert list(first.columns) == ["data_id", "label", "prediction"]
+    assert (first == second).all().all()
+    assert metrics1 == open(stem + "metrics_lm.csv").read()
+
+
 def test_run_mm_late_load_saved_model(task3):
     from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_late
 
