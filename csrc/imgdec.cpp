@@ -87,18 +87,18 @@ ResamplePlan plan_triangle(int in_size, int out_size) {
   return p;
 }
 
-// rgb (h, w, 3) uint8 -> (out, out, 3) uint8, independent x/y scales
-// (PIL img.resize((out, out)) semantics, data/images.py resize_to_u8)
-void resize_triangle_rgb(const unsigned char* src, int w, int h, int out_size,
-                         unsigned char* dst) {
-  ResamplePlan px = plan_triangle(w, out_size);
-  ResamplePlan py = plan_triangle(h, out_size);
-  // horizontal pass: (h, w, 3) -> (h, out, 3) float
-  std::vector<float> tmp((size_t)h * out_size * 3);
+// rgb (h, w, 3) uint8 -> (out_h, out_w, 3) uint8, independent x/y scales
+// (PIL img.resize((out_w, out_h)) semantics, data/images.py resize_to_u8)
+void resize_triangle_rgb_wh(const unsigned char* src, int w, int h,
+                            int out_w, int out_h, unsigned char* dst) {
+  ResamplePlan px = plan_triangle(w, out_w);
+  ResamplePlan py = plan_triangle(h, out_h);
+  // horizontal pass: (h, w, 3) -> (h, out_w, 3) float
+  std::vector<float> tmp((size_t)h * out_w * 3);
   for (int y = 0; y < h; ++y) {
     const unsigned char* row = src + (size_t)y * w * 3;
-    float* trow = tmp.data() + (size_t)y * out_size * 3;
-    for (int x = 0; x < out_size; ++x) {
+    float* trow = tmp.data() + (size_t)y * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
       float r = 0, g = 0, b = 0;
       const int lo = px.lo[x], n = px.n[x];
       const float* wt = px.w[x].data();
@@ -111,19 +111,24 @@ void resize_triangle_rgb(const unsigned char* src, int w, int h, int out_size,
       trow[(size_t)x * 3 + 2] = b;
     }
   }
-  // vertical pass: (h, out, 3) -> (out, out, 3) uint8
-  for (int y = 0; y < out_size; ++y) {
+  // vertical pass: (h, out_w, 3) -> (out_h, out_w, 3) uint8
+  for (int y = 0; y < out_h; ++y) {
     const int lo = py.lo[y], n = py.n[y];
     const float* wt = py.w[y].data();
-    unsigned char* drow = dst + (size_t)y * out_size * 3;
-    for (int x = 0; x < out_size * 3; ++x) {
+    unsigned char* drow = dst + (size_t)y * out_w * 3;
+    for (int x = 0; x < out_w * 3; ++x) {
       float acc = 0;
       for (int i = 0; i < n; ++i)
-        acc += wt[i] * tmp[(size_t)(lo + i) * out_size * 3 + x];
+        acc += wt[i] * tmp[(size_t)(lo + i) * out_w * 3 + x];
       int v = (int)std::lround((double)acc);
       drow[x] = (unsigned char)std::min(255, std::max(0, v));
     }
   }
+}
+
+void resize_triangle_rgb(const unsigned char* src, int w, int h, int out_size,
+                         unsigned char* dst) {
+  resize_triangle_rgb_wh(src, w, h, out_size, out_size, dst);
 }
 
 // ---------------------------------------------------------------------------

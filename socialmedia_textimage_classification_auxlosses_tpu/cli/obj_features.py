@@ -228,6 +228,16 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = bf16 conv trunk (throughput "
                              "option; f32 is the torch-twin parity default)")
+    from ._common import _ImgDecoderAction
+
+    parser.add_argument("--img_decoder", type=str, default="pil",
+                        choices=["pil", "native"], action=_ImgDecoderAction,
+                        help="image ingest for the mm/vilt cache builds "
+                             "(pil = parity default; native = C++ "
+                             "DCT-scaled decode, <=2 LSB deviation, "
+                             "faster on large photos). The FRCNN "
+                             "preprocess always uses PIL (measured faster "
+                             "than the scalar C++ resize, BASELINE.md)")
     parser.add_argument("--testing", action="store_true")
     parser.add_argument("--shard", type=str, default=None, metavar="I:N",
                         help="process this 1/N round-robin slice of the ids "

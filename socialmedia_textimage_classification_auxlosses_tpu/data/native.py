@@ -240,8 +240,8 @@ def _build_imgdec() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-             "-o", _IMGDEC_LIB_PATH, "-ljpeg", "-lpng"],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", src, "-o", _IMGDEC_LIB_PATH, "-ljpeg", "-lpng"],
             check=True, capture_output=True, timeout=120,
         )
         return True

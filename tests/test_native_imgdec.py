@@ -107,3 +107,4 @@ def test_decode_failure_returns_none(tmp_path):
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"not an image")
     assert native.native_decode_resize(str(bad), 224) is None
+
