@@ -343,11 +343,14 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
 
 def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                    dtype: str = "bfloat16", attn_impl: str = "auto",
-                   steps_per_dispatch: int = 10, prng_impl: str = "rbg"):
+                   steps_per_dispatch: int = 10, prng_impl: str = "rbg",
+                   phase: str = "train"):
     """Early-fusion throughput: ViLT (40 text + 144 patch joint encoder) and
     LXMERT (cross-modal attention over 36 ROI features) at checkpoint
     geometry with the full CE+ITC+ITM objective (VERDICT.md round-2 item 4).
-    Prints its own JSON line via --model."""
+    ``phase="eval"`` measures the deterministic serving/eval step instead
+    (scanned eval dispatch + the bf16 parameter pre-cast, like the flagship
+    ``measure_eval``). Prints its own JSON line via --model."""
     import jax
     import jax.numpy as jnp
 
@@ -473,6 +476,44 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
 
     loss_cfg = LossConfig(num_labels=NUM_LABELS, use_clip_loss=True,
                           use_tim_loss=True, beta_itc=0.1, beta_itm=0.1)
+    if phase == "eval":
+        # deterministic serving/eval step with the bf16 parameter pre-cast
+        # (utils/cast.py — bitwise-exact per family, tests/test_eval_cast.py)
+        from socialmedia_textimage_classification_auxlosses_tpu.train.steps import (
+            make_eval_many,
+        )
+        from socialmedia_textimage_classification_auxlosses_tpu.utils.cast import (
+            cast_params_for_eval, eval_cast_bytes_saved,
+        )
+
+        key = jax.random.PRNGKey(0)
+        k = max(1, steps_per_dispatch)
+        saved = eval_cast_bytes_saved(params, jnp.dtype(dtype))
+        params = cast_params_for_eval(params, jnp.dtype(dtype))
+        if saved:
+            print(f"# {model_name} eval pre-cast: {saved / 2**20:.0f} MiB "
+                  "of f32 weight bytes removed", file=sys.stderr)
+        emany = make_eval_many(forward_fn, loss_cfg,
+                               class_weights=jnp.ones(NUM_LABELS))
+        stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+        outs = emany(params, stacked, key, 0)
+        jax.block_until_ready(outs["loss"])
+        best = 0.0
+        for r in range(max(3, 60 // k)):
+            t0 = time.perf_counter()
+            outs = emany(params, stacked, key, (r + 1) * k)
+            jax.block_until_ready(outs["loss"])
+            dt = time.perf_counter() - t0
+            print(f"# {model_name} eval rep {r}: {k / dt * batch:.1f} "
+                  "posts/s", file=sys.stderr)
+            best = max(best, k / dt)
+        flops = 0.0
+        try:
+            flops = step_cost_analysis(
+                emany.lower(params, stacked, key, 0).compile())
+        except Exception as e:
+            print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        return best, float(np.ravel(np.asarray(outs["loss"]))[-1]), flops
     if model_name == "mmbt":
         from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
             batch_stats_predicate,
@@ -664,6 +705,27 @@ def main():
                         help="(--phase eval) weight-only int8 kernels "
                              "(w8a16 PTQ, ops/quant.py)")
     args = parser.parse_args()
+
+    if args.phase == "eval" and args.model != "mm_late":
+        import jax
+
+        steps_per_sec, loss, flops = measure_family(
+            args.model, steps=args.steps, batch=args.batch,
+            attn_impl=args.attn_impl,
+            steps_per_dispatch=args.steps_per_dispatch,
+            prng_impl=args.prng_impl, phase="eval")
+        posts = steps_per_sec * args.batch
+        peak = peak_flops_of(jax.devices()[0])
+        print(json.dumps({
+            "metric": f"posts/sec/chip ({args.model} EVAL/serving path, "
+                      f"batch {args.batch})",
+            "value": round(posts, 2),
+            "unit": "posts/sec",
+            "model_flops_per_step": flops,
+            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
+                    else None),
+        }))
+        return
 
     if args.phase == "eval":
         import jax
