@@ -495,18 +495,24 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                   "of f32 weight bytes removed", file=sys.stderr)
         emany = make_eval_many(forward_fn, loss_cfg,
                                class_weights=jnp.ones(NUM_LABELS))
+        # same --steps semantics as the flagship measure_eval: ceil(steps/k)
+        # chunked dispatches per timed rep
+        n_chunks = max(1, -(-steps // k))
+        rep_steps = n_chunks * k
         stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
         outs = emany(params, stacked, key, 0)
         jax.block_until_ready(outs["loss"])
         best = 0.0
-        for r in range(max(3, 60 // k)):
+        for r in range(max(3, 60 // rep_steps)):
             t0 = time.perf_counter()
-            outs = emany(params, stacked, key, (r + 1) * k)
+            for c in range(n_chunks):
+                outs = emany(params, stacked, key,
+                             (r * n_chunks + c) * k)
             jax.block_until_ready(outs["loss"])
             dt = time.perf_counter() - t0
-            print(f"# {model_name} eval rep {r}: {k / dt * batch:.1f} "
-                  "posts/s", file=sys.stderr)
-            best = max(best, k / dt)
+            print(f"# {model_name} eval rep {r}: "
+                  f"{rep_steps / dt * batch:.1f} posts/s", file=sys.stderr)
+            best = max(best, rep_steps / dt)
         flops = 0.0
         try:
             flops = step_cost_analysis(
@@ -709,6 +715,9 @@ def main():
     if args.phase == "eval" and args.model != "mm_late":
         import jax
 
+        if args.quantize:
+            parser.error("--quantize is only supported for the flagship "
+                         "(--model mm_late) eval path")
         steps_per_sec, loss, flops = measure_family(
             args.model, steps=args.steps, batch=args.batch,
             attn_impl=args.attn_impl,

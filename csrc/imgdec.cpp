@@ -87,10 +87,11 @@ ResamplePlan plan_triangle(int in_size, int out_size) {
   return p;
 }
 
-// rgb (h, w, 3) uint8 -> (out_h, out_w, 3) uint8, independent x/y scales
-// (PIL img.resize((out_w, out_h)) semantics, data/images.py resize_to_u8)
-void resize_triangle_rgb_wh(const unsigned char* src, int w, int h,
-                            int out_w, int out_h, unsigned char* dst) {
+// rgb (h, w, 3) uint8 -> (out_size, out_size, 3) uint8
+// (PIL img.resize((out_size, out_size)) semantics, data/images.py resize_to_u8)
+void resize_triangle_rgb(const unsigned char* src, int w, int h, int out_size,
+                         unsigned char* dst) {
+  const int out_w = out_size, out_h = out_size;
   ResamplePlan px = plan_triangle(w, out_w);
   ResamplePlan py = plan_triangle(h, out_h);
   // horizontal pass: (h, w, 3) -> (h, out_w, 3) float
@@ -124,11 +125,6 @@ void resize_triangle_rgb_wh(const unsigned char* src, int w, int h,
       drow[x] = (unsigned char)std::min(255, std::max(0, v));
     }
   }
-}
-
-void resize_triangle_rgb(const unsigned char* src, int w, int h, int out_size,
-                         unsigned char* dst) {
-  resize_triangle_rgb_wh(src, w, h, out_size, out_size, dst);
 }
 
 // ---------------------------------------------------------------------------

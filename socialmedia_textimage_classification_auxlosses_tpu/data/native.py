@@ -229,7 +229,32 @@ class NativeFastBpe:
 # absent the build fails quietly and callers keep the PIL path.
 # ---------------------------------------------------------------------------
 
-_IMGDEC_LIB_PATH = os.path.join(_CSRC, "libsmtc_imgdec.so")
+def _host_cpu_tag() -> str:
+    """Stable tag for the *build host's* CPU ISA.
+
+    The imgdec library is compiled with ``-march=native``, so a cached .so is
+    only valid on a CPU with the same feature set. On multi-host pod runs off
+    a shared checkout (``obj_features --shard``) each host must build and load
+    its own binary — keying the filename on the CPU flags makes a stale
+    foreign binary a cache miss instead of a SIGILL.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(feats.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{h}"
+
+
+_IMGDEC_LIB_PATH = os.path.join(_CSRC, f"libsmtc_imgdec.{_host_cpu_tag()}.so")
 _imgdec_lib = None
 _imgdec_failed = False
 

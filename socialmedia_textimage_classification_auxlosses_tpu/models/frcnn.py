@@ -428,6 +428,8 @@ def nms_keep_device(boxes, alive, thresh: float, max_out: int, group=None,
     ``(keep mask, kept count clamped to max_out)``.
     """
     n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool), jnp.int32(0)
     b = min(block, n)
     pad = (-n) % b
     nb = (n + pad) // b

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 # docstring). Segment matching keeps this robust across model families: all
 # LayerNorms here are named ln/ln_*/*_ln, BatchNorms bn*/stem_bn, and the
 # f32 heads use these exact names.
+#
+# MAINTENANCE CONTRACT: this list duplicates consumption-dtype knowledge that
+# lives in the model files, and a miss is silent accuracy drift, not an
+# error. Any NEW model family (or newly f32-consumed head) MUST add a
+# bitwise cast-vs-f32 case to tests/test_eval_cast.py — that test is the
+# mechanism that catches a stale entry here.
 _F32_HEAD_SEGMENTS = frozenset({
     "linear", "linear_cls", "linear_tim", "linear_iadds",
     "classifier", "fc", "text_proj", "visual_proj",

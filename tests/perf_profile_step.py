@@ -122,7 +122,7 @@ def build_step(args):
     return dispatch, k
 
 
-def parse_xplane(trace_dir, merge_scan_iters=True):
+def parse_xplane(trace_dir):
     """Aggregate device-plane op self-times from the xplane proto dumps."""
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -196,6 +196,8 @@ def main():
     ap.add_argument("--analyze_only", action="store_true",
                     help="skip capture; just parse --trace_dir")
     args = ap.parse_args()
+    if args.dispatches < 1:
+        ap.error("--dispatches must be >= 1")
 
     if not args.analyze_only:
         import jax
