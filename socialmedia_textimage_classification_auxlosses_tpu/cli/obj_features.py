@@ -148,12 +148,16 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
     ids = [str(i) for i in ids]
     feats = np.zeros((len(ids), cfg.max_detections, cfg.feat_dim), np.float32)
     boxes = np.zeros((len(ids), cfg.max_detections, 4), np.float32)
-    # Batched dispatch: group B images per device round-trip (detect_batch
-    # pads each canvas-orientation group to B so stage 1/2 compile at most
-    # twice), vs the reference's strictly per-image loop
-    # (obj_features.py:142-173).
+    # Batched double-buffered dispatch: group B images per device round-trip
+    # (detect_batch_async pads each canvas-orientation group to B so
+    # stage 1/2 compile at most twice) and overlap the NEXT chunk's host
+    # decode/resize with the chip's work on the current one — dispatch is
+    # async, only the deferred fetch synchronises. Results are bit-identical
+    # to the serial loop (same jitted program; tests/test_frcnn.py), vs the
+    # reference's strictly per-image synchronous loop (obj_features.py:142-173).
     B = 8
-    for start in range(0, len(ids), B):
+
+    def _decode_chunk(start):
         chunk = ids[start:start + B]
         imgs, ok = [], []
         for data_id in chunk:
@@ -164,12 +168,14 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
                 imgs.append(None)
                 ok.append(False)
                 logger.info("failed id %s", data_id)
+        return imgs, ok
+
+    def _store(start, ok, fetch):
         try:
-            outs = det.detect_batch([im for im in imgs if im is not None],
-                                    pad_to=B)
+            outs = fetch()
         except Exception:
             logger.info("failed batch at %d", start)
-            continue
+            return
         it = iter(outs)
         for j, good in enumerate(ok):
             if not good:
@@ -177,8 +183,23 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
             out = next(it)
             feats[start + j] = out["roi_features"]
             boxes[start + j] = out["normalized_boxes"]
+
+    pending = None  # (start, ok, deferred-fetch)
+    for start in range(0, len(ids), B):
+        imgs, ok = _decode_chunk(start)
+        try:
+            fetch = det.detect_batch_async(
+                [im for im in imgs if im is not None], pad_to=B)
+        except Exception:
+            logger.info("failed batch at %d", start)
+            fetch = None
+        if pending is not None:
+            _store(*pending)
+        pending = (start, ok, fetch) if fetch is not None else None
         if (start // B) % 16 == 0:
             logger.info("frcnn features %d/%d", start, len(ids))
+    if pending is not None:
+        _store(*pending)
     cache.num_boxes = cfg.max_detections
     cache.feat_dim = cfg.feat_dim
     cache.write(ids, feats, boxes)
@@ -228,10 +249,8 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = bf16 conv trunk (throughput "
                              "option; f32 is the torch-twin parity default)")
-    from ._common import _ImgDecoderAction
-
     parser.add_argument("--img_decoder", type=str, default="pil",
-                        choices=["pil", "native"], action=_ImgDecoderAction,
+                        choices=["pil", "native"],
                         help="image ingest for the mm/vilt cache builds "
                              "(pil = parity default; native = C++ "
                              "DCT-scaled decode, <=2 LSB deviation, "
@@ -245,6 +264,9 @@ def main(argv=None):
                              "image cache fills misses lazily, the ROI cache "
                              "is merged by re-running unsharded)")
     args = parser.parse_args(argv)
+    from ._common import publish_img_decoder
+
+    publish_img_decoder(args)
     shard = None
     if args.shard:
         i, n = (int(x) for x in args.shard.split(":"))

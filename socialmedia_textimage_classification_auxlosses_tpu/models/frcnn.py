@@ -813,6 +813,53 @@ class FrcnnDetector:
         in [0,1] of the resized image, plus scores/classes."""
         return self.detect_batch([img])[0]
 
+    def _dispatch_fused(self, pre, groups, pad_to, n_imgs):
+        """Issue the fused computation for every orientation group and return
+        the pending device results WITHOUT fetching — JAX dispatch is async,
+        so the host is free (to decode the next image chunk) while the chip
+        works. ``_finish_fused`` materialises the per-image dicts."""
+        pending = []
+        for shape, idxs in groups.items():
+            bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
+            canv = np.zeros((bp,) + shape, np.uint8)
+            sizes = np.ones((bp, 2), np.float32)
+            for j, i in enumerate(idxs):
+                canv[j] = pre[i][0]
+                sizes[j] = pre[i][1]
+            pending.append(
+                (idxs, self._fused(self.params, canv, jnp.asarray(sizes))))
+        return n_imgs, pending
+
+    @staticmethod
+    def _finish_fused(handle) -> list:
+        n_imgs, pending = handle
+        results: list = [None] * n_imgs
+        for idxs, dev in pending:
+            feats, boxes, scores, classes, cnts = jax.tree_util.tree_map(
+                np.asarray, dev)
+            for j, i in enumerate(idxs):
+                results[i] = {
+                    "roi_features": feats[j],
+                    "normalized_boxes": boxes[j],
+                    "scores": scores[j],
+                    "classes": classes[j].astype(np.int64),
+                }
+        return results
+
+    def detect_batch_async(self, imgs, pad_to: Optional[int] = None):
+        """Fused ``detect_batch`` split at the device boundary: preprocess +
+        dispatch now, defer the result fetch to the returned zero-arg
+        callable. Per-image results are bit-identical to ``detect_batch``
+        (same jitted program); the split only lets the caller overlap host
+        work (image decode of the NEXT chunk) with device compute — the
+        offline cacher's double-buffered build (cli/obj_features.py)."""
+        pre = [preprocess_image(im, self.cfg) for im in imgs]
+        groups: Dict[tuple, list] = {}
+        for i, (canvas, _, _) in enumerate(pre):
+            groups.setdefault(canvas.shape, []).append(i)
+        handle = self._dispatch_fused(pre, groups, pad_to, len(imgs))
+        return lambda: self._finish_fused(handle)
+
     def detect_batch(self, imgs, pad_to: Optional[int] = None,
                      fused: bool = True) -> list:
         """Batched inference over a list of raw images. Per-image results are
@@ -831,6 +878,8 @@ class FrcnnDetector:
         ``pad_to`` zero-pads each orientation group to a fixed batch so the
         jitted stages compile at most twice (landscape/portrait) regardless
         of the per-call orientation mix; padded rows are skipped host-side."""
+        if fused:
+            return self.detect_batch_async(imgs, pad_to)()
         cfg = self.cfg
         n = cfg.rpn_post_nms_topk
         pre = [preprocess_image(im, cfg) for im in imgs]
@@ -838,25 +887,6 @@ class FrcnnDetector:
         for i, (canvas, _, _) in enumerate(pre):
             groups.setdefault(canvas.shape, []).append(i)
         results: list = [None] * len(imgs)
-        if fused:
-            for shape, idxs in groups.items():
-                bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
-                canv = np.zeros((bp,) + shape, np.uint8)
-                sizes = np.ones((bp, 2), np.float32)
-                for j, i in enumerate(idxs):
-                    canv[j] = pre[i][0]
-                    sizes[j] = pre[i][1]
-                feats, boxes, scores, classes, cnts = jax.tree_util.tree_map(
-                    np.asarray, self._fused(self.params, canv,
-                                            jnp.asarray(sizes)))
-                for j, i in enumerate(idxs):
-                    results[i] = {
-                        "roi_features": feats[j],
-                        "normalized_boxes": boxes[j],
-                        "scores": scores[j],
-                        "classes": classes[j].astype(np.int64),
-                    }
-            return results
         for shape, idxs in groups.items():
             bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
             canv = np.zeros((bp,) + shape, np.uint8)

@@ -30,6 +30,11 @@ def main():
                     help="input H W (the MVSA/common social-media shape)")
     ap.add_argument("--staged", action="store_true",
                     help="also time the staged (non-fused) path")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="CHUNKS",
+                    help="also time the cacher loop over CHUNKS batches of "
+                         "real JPEG decodes: serial (decode -> detect -> "
+                         "fetch) vs double-buffered (decode chunk k+1 while "
+                         "the chip works on chunk k — detect_batch_async)")
     args = ap.parse_args()
 
     import numpy as np
@@ -64,6 +69,54 @@ def main():
         assert out[0]["roi_features"].shape[0] == det.cfg.max_detections
         print(f"{label}: {best * 1e3:.0f} ms/image warm "
               f"({1.0 / best:.2f} images/s) at {h}x{w}, batch {args.batch}")
+
+    if args.pipeline:
+        if args.reps < 1:
+            ap.error("--pipeline needs --reps >= 1")
+        # The cacher's real workload: JPEG decode + detect, CHUNKS batches.
+        import io
+
+        from PIL import Image
+
+        blobs = []
+        for c in range(args.pipeline):
+            chunk = []
+            for _ in range(args.batch):
+                buf = io.BytesIO()
+                Image.fromarray(
+                    rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+                        buf, format="JPEG", quality=90)
+                chunk.append(buf.getvalue())
+            blobs.append(chunk)
+
+        def decode(chunk):
+            return [np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+                    for b in chunk]
+
+        n_img = args.pipeline * args.batch
+        det.detect_batch(decode(blobs[0]), pad_to=args.batch)  # warm
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            for chunk in blobs:
+                det.detect_batch(decode(chunk), pad_to=args.batch)
+            serial = (time.perf_counter() - t0) / n_img
+            t0 = time.perf_counter()
+            pending = None
+            for chunk in blobs:
+                fetch = det.detect_batch_async(decode(chunk),
+                                               pad_to=args.batch)
+                if pending is not None:
+                    pending()
+                pending = fetch
+            pending()
+            piped = (time.perf_counter() - t0) / n_img
+            print(f"# pipeline rep {r}: serial {serial * 1e3:.0f} "
+                  f"ms/image, double-buffered {piped * 1e3:.0f} ms/image",
+                  file=sys.stderr)
+        print(f"cacher loop ({args.pipeline} chunks x batch {args.batch}, "
+              f"JPEG decode incl.): serial {serial * 1e3:.0f} ms/image, "
+              f"double-buffered {piped * 1e3:.0f} ms/image "
+              f"({serial / piped:.2f}x)")
 
 
 if __name__ == "__main__":

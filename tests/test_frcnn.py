@@ -166,6 +166,25 @@ def test_detect_batch_matches_detect(twin_and_params):
             np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6)
 
 
+def test_detect_batch_async_matches_sync(twin_and_params):
+    """The deferred-fetch path (detect_batch_async, used by the cacher's
+    double-buffered build) returns bit-identical results to detect_batch —
+    same jitted program, only the host-side fetch moves. Overlapped dispatch
+    order (both chunks in flight before either fetch) is exercised too."""
+    _, params = twin_and_params
+    det = FR.FrcnnDetector(TINY, params=params)
+    a = [_image(seed=11), _image(h=70, w=40, seed=12)]
+    b = [_image(seed=13), _image(seed=14), _image(h=70, w=40, seed=15)]
+    fetch_a = det.detect_batch_async(a, pad_to=4)
+    fetch_b = det.detect_batch_async(b, pad_to=4)  # in flight behind a
+    for imgs, got_all in ((a, fetch_a()), (b, fetch_b())):
+        ref_all = det.detect_batch(imgs, pad_to=4)
+        for got, ref in zip(got_all, ref_all):
+            for k in ("roi_features", "normalized_boxes", "scores",
+                      "classes"):
+                np.testing.assert_array_equal(got[k], ref[k])
+
+
 def test_fused_detect_matches_staged(twin_and_params):
     """The single-dispatch fused path (device RPN NMS + device per-class
     selection, models/frcnn.py _fused_detect) is per-image identical to the
