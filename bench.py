@@ -344,7 +344,7 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
 def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                    dtype: str = "bfloat16", attn_impl: str = "auto",
                    steps_per_dispatch: int = 10, prng_impl: str = "rbg",
-                   phase: str = "train"):
+                   phase: str = "train", opt_kernel: str = "fused"):
     """Early-fusion throughput: ViLT (40 text + 144 patch joint encoder) and
     LXMERT (cross-modal attention over 36 ROI features) at checkpoint
     geometry with the full CE+ITC+ITM objective (VERDICT.md round-2 item 4).
@@ -525,9 +525,10 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
             batch_stats_predicate,
         )
 
-        tx = make_optimizer(1e-5, 2.5e-4, batch_stats_predicate)
+        tx = make_optimizer(1e-5, 2.5e-4, batch_stats_predicate,
+                            fused=opt_kernel == "fused")
     else:
-        tx = make_optimizer(1e-5, 2.5e-4)
+        tx = make_optimizer(1e-5, 2.5e-4, fused=opt_kernel == "fused")
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(0)
     k = max(1, steps_per_dispatch)
@@ -712,9 +713,23 @@ def main():
                              "(w8a16 PTQ, ops/quant.py)")
     args = parser.parse_args()
 
-    if args.phase == "eval" and args.model != "mm_late":
+    def report(metric: str, steps_per_sec: float, flops, **extra):
+        """ONE JSON schema for every mode (posts/s + model flops + MFU);
+        the flagship path adds tokens_per_sec/vs_baseline via **extra."""
         import jax
 
+        peak = peak_flops_of(jax.devices()[0])
+        print(json.dumps({
+            "metric": metric,
+            "value": round(steps_per_sec * args.batch, 2),
+            "unit": "posts/sec",
+            **extra,
+            "model_flops_per_step": flops,
+            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
+                    else None),
+        }))
+
+    if args.phase == "eval" and args.model != "mm_late":
         if args.quantize:
             parser.error("--quantize is only supported for the flagship "
                          "(--model mm_late) eval path")
@@ -723,60 +738,29 @@ def main():
             attn_impl=args.attn_impl,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, phase="eval")
-        posts = steps_per_sec * args.batch
-        peak = peak_flops_of(jax.devices()[0])
-        print(json.dumps({
-            "metric": f"posts/sec/chip ({args.model} EVAL/serving path, "
-                      f"batch {args.batch})",
-            "value": round(posts, 2),
-            "unit": "posts/sec",
-            "model_flops_per_step": flops,
-            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
-                    else None),
-        }))
+        report(f"posts/sec/chip ({args.model} EVAL/serving path, "
+               f"batch {args.batch})", steps_per_sec, flops)
         return
 
     if args.phase == "eval":
-        import jax
-
         steps_per_sec, loss, flops = measure_eval(
             steps=args.steps, batch=args.batch, attn_impl=args.attn_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, quantize=args.quantize)
-        posts = steps_per_sec * args.batch
-        peak = peak_flops_of(jax.devices()[0])
-        print(json.dumps({
-            "metric": f"posts/sec/chip (flagship EVAL/serving path"
-                      f"{' w8' if args.quantize else ''}, "
-                      f"batch {args.batch})",
-            "value": round(posts, 2),
-            "unit": "posts/sec",
-            "model_flops_per_step": flops,
-            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
-                    else None),
-        }))
+        report(f"posts/sec/chip (flagship EVAL/serving path"
+               f"{' w8' if args.quantize else ''}, batch {args.batch})",
+               steps_per_sec, flops)
         return
 
     if args.model != "mm_late":
-        import jax
-
         steps_per_sec, loss, flops = measure_family(
             args.model, steps=args.steps, batch=args.batch,
             attn_impl=args.attn_impl,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl)
-        posts = steps_per_sec * args.batch
-        peak = peak_flops_of(jax.devices()[0])
-        print(json.dumps({
-            "metric": f"posts/sec/chip ({args.model} fine-tune, ITC+ITM, "
-                      f"batch {args.batch})",
-            "value": round(posts, 2),
-            "unit": "posts/sec",
-            "model_flops_per_step": flops,
-            "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
-                    else None),
-        }))
+            prng_impl=args.prng_impl, opt_kernel=args.opt_kernel)
+        report(f"posts/sec/chip ({args.model} fine-tune, ITC+ITM, "
+               f"batch {args.batch})", steps_per_sec, flops)
         return
 
     baseline = None
@@ -812,23 +796,13 @@ def main():
             opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
             tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
 
-    import jax
-
     posts_per_sec = steps_per_sec * args.batch
-    peak = peak_flops_of(jax.devices()[0])
     # 2 text passes (primary + TIM) over seq-128 tokens per post feed the
     # tokens/s line; MFU = XLA-counted step flops x steps/s over bf16 peak
-    tokens_per_sec = posts_per_sec * 2 * SEQ
-    print(json.dumps({
-        "metric": f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, batch {args.batch})",
-        "value": round(posts_per_sec, 2),
-        "unit": "posts/sec",
-        "vs_baseline": round(posts_per_sec / baseline["posts_per_sec"], 2),
-        "tokens_per_sec": round(tokens_per_sec, 1),
-        "model_flops_per_step": flops,
-        "mfu": (round(flops * steps_per_sec / peak, 4) if peak and flops
-                else None),
-    }))
+    report(f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, "
+           f"batch {args.batch})", steps_per_sec, flops,
+           vs_baseline=round(posts_per_sec / baseline["posts_per_sec"], 2),
+           tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1))
 
 
 if __name__ == "__main__":

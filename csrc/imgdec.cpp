@@ -187,6 +187,11 @@ unsigned char* decode_jpeg(const char* path, int target, int* out_w,
     return nullptr;
   }
   buf = (unsigned char*)std::malloc((size_t)w * h * 3);
+  if (!buf) {  // decompression bombs / memory pressure -> clean PIL fallback
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = buf + (size_t)cinfo.output_scanline * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -242,6 +247,11 @@ unsigned char* decode_png(const char* path, int* out_w, int* out_h) {
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
   buf = (unsigned char*)std::malloc((size_t)w * h * 3);
+  if (!buf) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return nullptr;
+  }
   rows.resize((size_t)h);
   for (int y = 0; y < h; ++y) rows[(size_t)y] = buf + (size_t)y * w * 3;
   png_read_image(png, rows.data());

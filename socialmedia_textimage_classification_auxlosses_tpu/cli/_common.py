@@ -164,7 +164,7 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     parser.add_argument("--log_jsonl", type=str, default=None,
                         help="append structured per-step/epoch records to this JSONL file")
     parser.add_argument("--img_decoder", type=str, default="pil",
-                        choices=["pil", "native"], action=_ImgDecoderAction,
+                        choices=["pil", "native"],
                         help="image ingest path: pil (reference-parity "
                              "decode, default) or native (C++ libjpeg/libpng "
                              "with DCT-scaled JPEG decode; faster cache "
@@ -172,14 +172,14 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
     return parser
 
 
-class _ImgDecoderAction(argparse.Action):
-    """Publishes --img_decoder to the ingest layer at parse time: the decode
-    helpers (data/images.py) run deep inside cache builds and pipelines, so
-    the switch travels as SMTC_IMG_DECODER rather than threading args."""
-
-    def __call__(self, parser, namespace, values, option_string=None):
-        setattr(namespace, self.dest, values)
-        os.environ["SMTC_IMG_DECODER"] = values
+def publish_img_decoder(args):
+    """Publishes --img_decoder to the ingest layer: the decode helpers
+    (data/images.py) run deep inside cache builds and pipelines, so the
+    switch travels as SMTC_IMG_DECODER rather than threading args. Called
+    post-parse by every runner main — unconditionally, so the pil default
+    RESETS the env and a '--img_decoder native' invocation cannot leak the
+    non-bit-exact decoder into a later in-process main() call."""
+    os.environ["SMTC_IMG_DECODER"] = getattr(args, "img_decoder", None) or "pil"
 
 
 def enable_compile_cache():
@@ -213,9 +213,11 @@ def enable_compile_cache():
             "persistent compile cache disabled: %r", e)
 
 
-def seed_everything(seed: int, prng_impl: str = None):
+def seed_everything(seed: int, prng_impl: str = None, args=None):
     np.random.seed(seed)
     enable_compile_cache()
+    if args is not None:
+        publish_img_decoder(args)
     if prng_impl:
         import jax
 

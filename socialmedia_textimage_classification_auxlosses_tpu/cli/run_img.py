@@ -37,7 +37,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    seed_everything(args.seed, getattr(args, "prng_impl", None))
+    seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     results_dir = results_dir_for(C.results_dir_img, args.testing)
     logger.info("Model: %s, Task: %s, feature extract: %s, conv att: %s, "
                 "Epochs: %s, seed: %s", args.model_name, args.task,

@@ -39,7 +39,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    seed_everything(args.seed, getattr(args, "prng_impl", None))
+    seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     model_name = args.model
     # MMBT artifacts land in the reference's dedicated directory
     # (results_dir_mmbt, reference config.py:135)

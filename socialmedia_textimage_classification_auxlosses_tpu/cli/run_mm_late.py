@@ -79,7 +79,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    seed_everything(args.seed, getattr(args, "prng_impl", None))
+    seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     results_dir = results_dir_for(C.results_dir_mm_late, args.testing)
     logger.info(
         "Model: %s-%s, Task: %s, Fusion: %s, Testing: %s, PP Features: %s, "

@@ -48,7 +48,7 @@ def main(argv=None):
     args = parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
     args.seed = seeds[0]  # data subsampling/shuffle stream
-    seed_everything(args.seed, getattr(args, "prng_impl", None))
+    seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     results_dir = results_dir_for(C.results_dir_mm_late, args.testing)
     logger.info("Seed sweep %s: %s-%s %s task %s", seeds, args.txt_model_name,
                 args.img_model_name, args.fusion_name, args.task)

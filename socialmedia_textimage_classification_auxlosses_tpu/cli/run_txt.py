@@ -36,7 +36,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    seed_everything(args.seed, getattr(args, "prng_impl", None))
+    seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     results_dir = results_dir_for(C.results_dir_txt, args.testing)
     logger.info("Model: %s, Task: %s, Epochs: %s, LC:%s, seed: %s",
                 args.model_name, args.task, args.epochs,

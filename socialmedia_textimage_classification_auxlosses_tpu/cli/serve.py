@@ -9,10 +9,14 @@ a production deployment needs an online path. This runner loads a trained
     python -m ....cli.serve --task 3 --txt_model_name bernice \
         --img_model_name vit --fusion_name attention --port 8473
 
-    POST /classify   {"text": "...", "image_path": "p.jpg" | "image_b64":
-                      "<base64 bytes>"}   ->
+    POST /classify   {"text": "...", "image_b64": "<base64 bytes>" |
+                      "image_path": "p.jpg"}   ->
                      {"prediction": k, "class": "...", "probs": [...]}
     GET  /healthz    liveness + model identity
+
+``image_path`` names a server-side file and is therefore DISABLED unless
+``--image_root DIR`` confines it (paths resolve inside DIR, regular files
+only); ``image_b64`` always works.
 
 TPU-shaped serving, not a per-request loop:
 
@@ -36,6 +40,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -103,6 +108,15 @@ def parse_args(argv=None):
     parser.add_argument("--quantize", type=str, default=None, choices=["w8"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8473)
+    parser.add_argument("--image_root", type=str, default=None,
+                        help="directory that request image_path values are "
+                             "confined to; image_path requests are REFUSED "
+                             "unless this is set (image_b64 always works)")
+    parser.add_argument("--fast_start", action="store_true",
+                        help="(--model lxmert) skip the full detector "
+                             "warm-up: only the first-request shape is "
+                             "compiled up front and other batch/orientation "
+                             "shapes compile inside live request windows")
     parser.add_argument("--max_batch", type=int, default=16,
                         help="serving batch (ONE compiled shape)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
@@ -388,15 +402,75 @@ class MicroBatcher:
                     raise
 
 
-def _decode_image(payload):
+def _decode_image(payload, image_root=None):
     from PIL import Image
 
     if payload.get("image_b64"):
         raw = base64.b64decode(payload["image_b64"])
         return Image.open(io.BytesIO(raw)).convert("RGB")
     if payload.get("image_path"):
-        return Image.open(payload["image_path"]).convert("RGB")
+        # image_path lets any client with HTTP access name a server-side
+        # file: confine it to an operator-chosen directory (regular files
+        # only — no FIFOs/devices that would hang a handler thread), and
+        # refuse it entirely unless --image_root was given
+        if not image_root:
+            raise ValueError(
+                "image_path requests are disabled (start the server with "
+                "--image_root to allow them); send image_b64 instead")
+        root = os.path.realpath(image_root)
+        path = os.path.realpath(os.path.join(root, payload["image_path"]))
+        if os.path.commonpath([root, path]) != root:
+            raise ValueError("image_path escapes --image_root")
+        if not os.path.isfile(path):
+            raise ValueError("image_path is not a regular file")
+        return Image.open(path).convert("RGB")
     return None
+
+
+def detector_warm_pads(max_batch: int):
+    """The detector pad sizes a live window can request: every power of two
+    below ``max_batch``, plus ``max_batch`` itself (predict_batch pads the
+    per-window image count to the next power of two capped at max_batch)."""
+    pads, p = [], 1
+    while p < max_batch:
+        pads.append(p)
+        p <<= 1
+    pads.append(max_batch)
+    return pads
+
+
+def warm_service(args, predict_batch):
+    """Compile every shape live traffic can request BEFORE accepting it.
+
+    The classifier is ONE fixed (max_batch, ...) program — a single call
+    warms it. ``--model lxmert`` additionally runs the FRCNN detector per
+    request window, and the detector compiles per (canvas orientation,
+    pad size): without warming those, a 2-3 min full-geometry compile lands
+    inside a live request window the first time a new batch size or a
+    portrait image shows up. Warm them all (persistent compile cache makes
+    restarts cheap); ``--fast_start`` keeps the old first-shape-only warm."""
+    t0 = time.time()
+    if args.model != "lxmert":
+        predict_batch([("warmup", None)])
+        logger.info("compiled serving shape (batch %d) in %.1fs",
+                    args.max_batch, time.time() - t0)
+        return
+    from PIL import Image
+
+    landscape = Image.fromarray(np.zeros((240, 320, 3), np.uint8))
+    portrait = Image.fromarray(np.zeros((320, 240, 3), np.uint8))
+    shapes = [(o, k) for o in ("landscape", "portrait")
+              for k in detector_warm_pads(args.max_batch)]
+    if args.fast_start:
+        shapes = shapes[:1]
+    for i, (orient, k) in enumerate(shapes):
+        img = landscape if orient == "landscape" else portrait
+        ts = time.time()
+        predict_batch([("warmup", img)] * k)
+        logger.info("warm %d/%d: detector %s pad=%d in %.1fs", i + 1,
+                    len(shapes), orient, k, time.time() - ts)
+    logger.info("compiled serving + detector shapes (batch %d) in %.1fs",
+                args.max_batch, time.time() - t0)
 
 
 def make_server(args, batcher: MicroBatcher, meta):
@@ -426,7 +500,7 @@ def make_server(args, batcher: MicroBatcher, meta):
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 text = payload.get("text", "")
-                image = _decode_image(payload)
+                image = _decode_image(payload, args.image_root)
             except Exception as e:
                 self._send(400, {"error": repr(e)})
                 return
@@ -444,22 +518,9 @@ def make_server(args, batcher: MicroBatcher, meta):
 def main(argv=None):
     args = parse_args(argv)
     enable_compile_cache()
-    seed_everything(args.seed)
+    seed_everything(args.seed, args=args)
     predict_batch, meta = build_service(args)
-    # warm the single compiled shape before accepting traffic — WITH an
-    # image, so --model lxmert also compiles the detector program now
-    # instead of inside the first client's request window
-    t0 = time.time()
-    warm_img = None
-    if args.model == "lxmert":
-        from PIL import Image
-
-        warm_img = Image.fromarray(
-            np.zeros((args.image_size or 224, args.image_size or 224, 3),
-                     np.uint8))
-    predict_batch([("warmup", warm_img)])
-    logger.info("compiled serving shape (batch %d) in %.1fs",
-                args.max_batch, time.time() - t0)
+    warm_service(args, predict_batch)
     batcher = MicroBatcher(predict_batch, args.max_batch,
                            args.batch_window_ms)
     server = make_server(args, batcher, meta)

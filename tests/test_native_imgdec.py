@@ -93,14 +93,19 @@ def test_cli_flag_publishes_env(monkeypatch):
     import argparse
 
     from socialmedia_textimage_classification_auxlosses_tpu.cli._common import (
-        add_common_args)
+        add_common_args, publish_img_decoder)
 
     monkeypatch.delenv("SMTC_IMG_DECODER", raising=False)
     p = argparse.ArgumentParser()
     add_common_args(p)
     args = p.parse_args(["--task", "3", "--img_decoder", "native"])
     assert args.img_decoder == "native"
+    publish_img_decoder(args)
     assert os.environ["SMTC_IMG_DECODER"] == "native"
+    # the pil DEFAULT must RESET the env: a later in-process main() without
+    # the flag may not inherit 'native' from an earlier invocation
+    publish_img_decoder(p.parse_args(["--task", "3"]))
+    assert os.environ["SMTC_IMG_DECODER"] == "pil"
 
 
 def test_decode_failure_returns_none(tmp_path):

@@ -227,3 +227,52 @@ def test_bad_request_is_400_not_crash(service):
     # server still alive
     res = _post(service["port"], {"text": "still up?"})
     assert "prediction" in res
+
+
+def test_image_path_refused_without_image_root(service):
+    """image_path names a server-side file: with no --image_root the request
+    is rejected as a 400 (never opened), closing the arbitrary-file-read
+    hole while image_b64 stays the normal transport."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{service['port']}/classify",
+        data=json.dumps({"text": "x", "image_path": "/etc/hostname"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert b"image_root" in e.read()
+
+
+def test_decode_image_path_confinement(tmp_path):
+    """--image_root confines image_path: inside resolves, traversal and
+    non-regular files are refused."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(root / "ok.png")
+    (tmp_path / "outside.png").write_bytes(b"x")
+
+    img = serve._decode_image({"image_path": "ok.png"}, str(root))
+    assert img.size == (8, 8)
+    with pytest.raises(ValueError, match="escapes"):
+        serve._decode_image({"image_path": "../outside.png"}, str(root))
+    with pytest.raises(ValueError, match="regular file"):
+        serve._decode_image({"image_path": "missing.png"}, str(root))
+    with pytest.raises(ValueError, match="disabled"):
+        serve._decode_image({"image_path": "ok.png"}, None)
+
+
+def test_detector_warm_pads():
+    """warm_service must cover exactly the pad sizes predict_batch can
+    request: powers of two below max_batch, plus max_batch (the pow2 cap)."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    assert serve.detector_warm_pads(16) == [1, 2, 4, 8, 16]
+    assert serve.detector_warm_pads(12) == [1, 2, 4, 8, 12]
+    assert serve.detector_warm_pads(1) == [1]
+    assert serve.detector_warm_pads(2) == [1, 2]
