@@ -276,3 +276,40 @@ def test_detector_warm_pads():
     assert serve.detector_warm_pads(12) == [1, 2, 4, 8, 12]
     assert serve.detector_warm_pads(1) == [1]
     assert serve.detector_warm_pads(2) == [1, 2]
+
+
+def test_warm_service_covers_all_detector_shapes(monkeypatch):
+    """After warm_service, no live request window can trigger a detector
+    compile: every (canvas orientation, pad size) shape predict_batch can
+    request is already in the jit cache — the 'no retrace ever' serving
+    contract extended to --model lxmert (full-geometry detector compiles
+    are 2-3 min and must never land inside a request window)."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    made = {}
+    orig = serve._make_detector
+
+    def spy(a):
+        made["det"] = orig(a)
+        return made["det"]
+
+    monkeypatch.setattr(serve, "_make_detector", spy)
+    args = serve.parse_args([
+        "--task", "3", "--model", "lxmert", "--arch", "tiny",
+        "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init",
+    ])
+    predict_batch, _ = serve.build_service(args)
+    serve.warm_service(args, predict_batch)
+    det = made["det"]
+    warmed = det._fused._cache_size()
+    assert warmed >= 2  # landscape + portrait at least
+
+    rng = np.random.RandomState(3)
+    land = Image.fromarray(rng.randint(0, 255, (60, 90, 3), np.uint8))
+    port = Image.fromarray(rng.randint(0, 255, (90, 60, 3), np.uint8))
+    for window in ([("a", land)], [("a", land), ("b", land)],
+                   [("a", port)], [("a", port), ("b", land)]):
+        predict_batch(window)
+    assert det._fused._cache_size() == warmed
