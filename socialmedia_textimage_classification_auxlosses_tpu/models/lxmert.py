@@ -230,6 +230,13 @@ class LxmertClassifier(nn.Module):
     num_labels: int
     dropout: float = 0.1
     logit_scale_init: float = 2.6592
+    # One 2B-row backbone dispatch for [primary ; TIM-swapped] instead of
+    # two sequential B-row passes (reference layout, mm_early.py:146-160):
+    # identical per-row math (each row is its own (text, ROI-set) pair), far
+    # better MXU fill over the 36-ROI vision branch at the paper's batch
+    # sizes. Dropout draws once over 2B rows (same distribution, different
+    # stream than two-pass). False restores the reference's two passes.
+    tim_batched: bool = True
 
     def setup(self):
         self.backbone = LxmertBackbone(self.cfg, name="backbone")
@@ -250,8 +257,24 @@ class LxmertClassifier(nn.Module):
     def __call__(self, ids, attention_mask, token_type_ids, visual_feats,
                  visual_pos, tim_ids=None, tim_mask=None,
                  tim_token_type_ids=None, deterministic=True):
-        lang, vis = self.backbone(ids, attention_mask, token_type_ids,
-                                  visual_feats, visual_pos, deterministic)
+        lang_tim = None
+        if tim_ids is not None and self.tim_batched:
+            cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+            two = lambda a: jnp.concatenate([a, a], axis=0)
+            b = ids.shape[0]
+            lang2, vis2 = self.backbone(
+                cat(ids, tim_ids), cat(attention_mask, tim_mask),
+                (None if token_type_ids is None
+                 else cat(token_type_ids, tim_token_type_ids)),
+                two(visual_feats), two(visual_pos), deterministic)
+            lang, lang_tim, vis = lang2[:b], lang2[b:], vis2[:b]
+        else:
+            lang, vis = self.backbone(ids, attention_mask, token_type_ids,
+                                      visual_feats, visual_pos, deterministic)
+            if tim_ids is not None:
+                lang_tim, _ = self.backbone(tim_ids, tim_mask,
+                                            tim_token_type_ids, visual_feats,
+                                            visual_pos, deterministic)
         fused = self._head(lang, deterministic)
         out_cls = self.linear(fused)
 
@@ -268,9 +291,7 @@ class LxmertClassifier(nn.Module):
         x_v = jnp.max(vis, axis=1)
 
         out_tim = None
-        if tim_ids is not None:
-            lang_tim, _ = self.backbone(tim_ids, tim_mask, tim_token_type_ids,
-                                        visual_feats, visual_pos, deterministic)
+        if lang_tim is not None:
             out_tim = self.linear_tim(lang_tim[:, 0, :].astype(jnp.float32))
 
         return {

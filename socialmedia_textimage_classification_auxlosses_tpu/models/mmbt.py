@@ -132,6 +132,11 @@ class MmbtClassifier(nn.Module):
     num_image_embeds: int = 3
     dropout: float = 0.05
     logit_scale_init: float = 2.6592  # CLIP default, reference mm_early.py:57
+    # One 2B-row joint-encoder dispatch for [primary ; TIM-swapped] (the CNN
+    # image tokens are computed once and shared either way): identical
+    # per-row math, better MXU fill at the paper's batch sizes; dropout
+    # draws once over 2B rows. False restores the sequential two-pass.
+    tim_batched: bool = True
 
     def setup(self):
         self.backbone = MmbtBackbone(self.cfg, cnn_name=self.cnn_name,
@@ -149,8 +154,22 @@ class MmbtClassifier(nn.Module):
                  tim_mask=None, deterministic=True, train=False):
         start, sentence, smask, end = split_mmbt_inputs(ids, attention_mask)
         img_tokens = self.backbone.encode_image(pixel_values, train=train)
-        hidden, pooled, n_modal = self.backbone.joint(
-            start, sentence, smask, end, img_tokens, deterministic)
+        tim_pooled = None
+        if tim_ids is not None and self.tim_batched:
+            cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+            t_start, t_sent, t_smask, t_end = split_mmbt_inputs(tim_ids,
+                                                                tim_mask)
+            b = ids.shape[0]
+            hidden2, pooled2, n_modal = self.backbone.joint(
+                cat(start, t_start), cat(sentence, t_sent),
+                cat(smask, t_smask), cat(end, t_end),
+                jnp.concatenate([img_tokens, img_tokens], axis=0),
+                deterministic)
+            hidden, pooled = hidden2[:b], pooled2[:b]
+            tim_pooled = pooled2[b:]
+        else:
+            hidden, pooled, n_modal = self.backbone.joint(
+                start, sentence, smask, end, img_tokens, deterministic)
         out_cls = self.linear(
             self.head_dropout(pooled.astype(jnp.float32),
                               deterministic=deterministic))
@@ -165,11 +184,12 @@ class MmbtClassifier(nn.Module):
             tmask.sum(axis=1), 1.0)
 
         out_tim = None
-        if tim_ids is not None:
+        if tim_ids is not None and tim_pooled is None:
             t_start, t_sent, t_smask, t_end = split_mmbt_inputs(tim_ids,
                                                                 tim_mask)
             _, tim_pooled, _ = self.backbone.joint(
                 t_start, t_sent, t_smask, t_end, img_tokens, deterministic)
+        if tim_pooled is not None:
             out_tim = self.linear_tim(tim_pooled.astype(jnp.float32))
 
         return {

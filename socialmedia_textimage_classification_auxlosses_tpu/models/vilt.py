@@ -76,6 +76,14 @@ class ViltClassifier(nn.Module):
     dropout: float = 0.1
     logit_scale_init: float = 2.6592
     projection_dim: int = 768  # fixed_feat_size (reference config.py:83)
+    # Run the primary and TIM joint passes as ONE 2B-row backbone dispatch
+    # instead of two sequential B-row passes (the reference's layout,
+    # mm_early.py:78-92). Per-row math is identical — each row still sees
+    # its own (text, image) pair — but at the paper's batch sizes the
+    # doubled batch fills the MXU far better. Dropout masks are drawn once
+    # over 2B rows instead of twice over B (same distribution, different
+    # stream); set False for the reference's two-pass layout.
+    tim_batched: bool = True
 
     def setup(self):
         self.backbone = ViltBackbone(self.cfg, patch=self.patch,
@@ -90,8 +98,29 @@ class ViltClassifier(nn.Module):
     def __call__(self, ids, attention_mask, token_type_ids, pixel_values,
                  pixel_mask=None, tim_ids=None, tim_mask=None,
                  tim_token_type_ids=None, deterministic=True):
-        hidden, _ = self.backbone(ids, attention_mask, token_type_ids,
-                                  pixel_values, pixel_mask, deterministic)
+        tim_hidden = None
+        if tim_ids is not None and self.tim_batched:
+            # one 2B-row joint pass: [primary ; TIM-swapped] share the
+            # images, each row attends only within itself
+            cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+            two = lambda a: jnp.concatenate([a, a], axis=0)
+            hidden2, _ = self.backbone(
+                cat(ids, tim_ids), cat(attention_mask, tim_mask),
+                (None if token_type_ids is None
+                 else cat(token_type_ids, tim_token_type_ids)),
+                two(pixel_values),
+                None if pixel_mask is None else two(pixel_mask),
+                deterministic)
+            b = ids.shape[0]
+            hidden, tim_hidden = hidden2[:b], hidden2[b:]
+        else:
+            hidden, _ = self.backbone(ids, attention_mask, token_type_ids,
+                                      pixel_values, pixel_mask, deterministic)
+            if tim_ids is not None:
+                tim_hidden, _ = self.backbone(tim_ids, tim_mask,
+                                              tim_token_type_ids,
+                                              pixel_values, pixel_mask,
+                                              deterministic)
         cls = hidden[:, 0, :]
         out_cls = self.linear(
             self.head_dropout(cls, deterministic=deterministic).astype(jnp.float32)
@@ -102,9 +131,7 @@ class ViltClassifier(nn.Module):
         x_v = hidden[:, text_seq_len, :]
 
         out_tim = None
-        if tim_ids is not None:
-            tim_hidden, _ = self.backbone(tim_ids, tim_mask, tim_token_type_ids,
-                                          pixel_values, pixel_mask, deterministic)
+        if tim_hidden is not None:
             out_tim = self.linear_tim(tim_hidden[:, 0, :].astype(jnp.float32))
 
         return {
