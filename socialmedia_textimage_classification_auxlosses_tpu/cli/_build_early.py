@@ -42,6 +42,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
     model_dir = C.MODEL_DIR_DICT.get(model_name)
     overrides = arch_overrides(args)
     hf = _load_hf_config(model_dir)
+    tim_batched = not getattr(args, "tim_two_pass", False)
 
     hidden = overrides.get("hidden", hf.get("hidden_size", 768))
     layers = overrides.get("layers", hf.get("num_hidden_layers", 12))
@@ -86,7 +87,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
 
             enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro, pp.num_levels)
         model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
-                               image_size=geo["image_size"], dropout=cfg.dropout)
+                               image_size=geo["image_size"], dropout=cfg.dropout,
+                               tim_batched=tim_batched)
         L = cfg.max_length
         ids0 = jnp.zeros((2, L), jnp.int32)
         px0 = jnp.zeros((2, geo["image_size"], geo["image_size"], 3), jnp.float32)
@@ -146,7 +148,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         cnn_name = "resnet50" if args.arch != "base" else "resnet152"
         image_size = args.image_size or (64 if args.arch != "base" else 224)
         model = MmbtClassifier(enc_cfg, cfg.num_labels, cnn_name=cnn_name,
-                               dropout=cfg.dropout)
+                               dropout=cfg.dropout, tim_batched=tim_batched)
         L = cfg.max_length
         ids0 = jnp.zeros((2, L), jnp.int32)
         mask0 = jnp.ones((2, L), jnp.int32)
@@ -225,7 +227,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             lx_cfg = _dc.replace(
                 lx_cfg, pp_runners=make_lxmert_pp_runners(
                     lx_cfg, pp.mesh, pp.num_micro, roi_cache.num_boxes))
-        model = LxmertClassifier(lx_cfg, cfg.num_labels, dropout=cfg.dropout)
+        model = LxmertClassifier(lx_cfg, cfg.num_labels, dropout=cfg.dropout,
+                                 tim_batched=tim_batched)
         L = cfg.max_length
         ids0 = jnp.zeros((2, L), jnp.int32)
         f0 = jnp.zeros((2, roi_cache.num_boxes, roi_cache.feat_dim), jnp.float32)

@@ -33,6 +33,13 @@ def parse_args(argv=None):
     parser.add_argument("--import_reference_ckpt", type=str, default=None,
                         help="path to a reference-trained ViLT/Lxmert wrapper "
                              ".pth state dict to import")
+    parser.add_argument("--tim_two_pass", action="store_true",
+                        help="run the TIM pass as the reference's second "
+                             "sequential backbone pass (mm_early.py:78-92) "
+                             "instead of the default batched 2B-row dispatch; "
+                             "identical math either way — only the training "
+                             "dropout stream differs (one draw over 2B rows "
+                             "vs two draws over B)")
     add_common_args(parser, multimodal=True)
     return parser.parse_args(argv)
 

@@ -54,3 +54,18 @@ def test_obj_features_cacher(task3):
     cache_dir = C.DATA_PATH + "cache/mvsa_u8_32"
     assert os.path.isfile(os.path.join(cache_dir, "pixels.npy"))
     assert os.path.isfile(os.path.join(cache_dir, "meta.json"))
+
+
+def test_tim_two_pass_flag_reaches_model(task3):
+    """--tim_two_pass restores the reference's sequential TIM layout
+    (mm_early.py:78-92) on the built classifier."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import run_mm_early
+    from socialmedia_textimage_classification_auxlosses_tpu.cli._build_early import (
+        build_mm_early_setup)
+
+    for extra, want in ([["--tim_two_pass"], False], [[], True]):
+        args = run_mm_early.parse_args(
+            ["--model", "vilt", "--task", "3", "--use_tim_loss"] + extra + FAST)
+        cfg = C.Config(args, model_name="vilt")
+        setup = build_mm_early_setup(args, cfg)
+        assert setup.model.tim_batched is want
