@@ -2,6 +2,7 @@
 jpgs as its only fixtures — SURVEY.md section 4; ours are generated)."""
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -93,15 +94,17 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
         kept + [f"--xla_force_host_platform_device_count={n_devices}"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    # One retry on the KNOWN-TRANSIENT rendezvous abort only: on this 1-core
-    # host the XLA-CPU collective rendezvous can CHECK-abort when the
-    # partition threads starve past even the generous timeout under full-
-    # suite load (observed ~1/3 full-suite runs; the same test always passes
-    # isolated). Deterministic failures don't match the pattern and still
-    # fail on the first attempt's output.
+    # Up to two retries (with a backoff pause) on the KNOWN-TRANSIENT
+    # rendezvous abort only: on this 1-core host the XLA-CPU collective
+    # rendezvous can CHECK-abort when the partition threads starve past even
+    # the generous timeout under full-suite load (observed ~1/3 full-suite
+    # runs, including back-to-back aborts when the host carries extra load;
+    # the same test always passes isolated). Deterministic failures don't
+    # match the pattern and still fail on the first attempt's output.
     _TRANSIENT = ("to join the rendezvous", "rendezvous timed out",
                   "termination timeout")
-    for attempt in (1, 2):
+    attempts = 3
+    for attempt in range(1, attempts + 1):
         proc = subprocess.run(
             [sys.executable, "-m",
              f"socialmedia_textimage_classification_auxlosses_tpu.cli.{cli_module}"]
@@ -110,9 +113,11 @@ def run_cli_in_subprocess(cli_module: str, args, tmp_path, task=3,
         if proc.returncode == 0:
             break
         blob = proc.stdout[-4000:] + proc.stderr[-4000:]
-        if attempt == 1 and any(t in blob for t in _TRANSIENT):
+        if attempt < attempts and any(t in blob for t in _TRANSIENT):
             print(f"[fixtures] transient collective-rendezvous abort in "
-                  f"{cli_module}; retrying once", file=sys.stderr)
+                  f"{cli_module}; retry {attempt}/{attempts - 1}",
+                  file=sys.stderr)
+            time.sleep(20 * attempt)  # let the loaded 1-core host drain
             continue
         break
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
