@@ -344,7 +344,8 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
 def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                    dtype: str = "bfloat16", attn_impl: str = "auto",
                    steps_per_dispatch: int = 10, prng_impl: str = "rbg",
-                   phase: str = "train", opt_kernel: str = "fused"):
+                   phase: str = "train", opt_kernel: str = "fused",
+                   seq_len: int = None):
     """Early-fusion throughput: ViLT (40 text + 144 patch joint encoder) and
     LXMERT (cross-modal attention over 36 ROI features) at checkpoint
     geometry with the full CE+ITC+ITM objective (VERDICT.md round-2 item 4).
@@ -387,7 +388,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                             attn_impl=attn_impl)
         model = ViltClassifier(cfg, NUM_LABELS, patch=32, image_size=384,
                                dropout=0.05)
-        seq = 40
+        seq = min(seq_len or 40, 40)
         ids = jnp.asarray(rng.randint(4, 30522, (batch, seq)), jnp.int32)
         mask = jnp.ones((batch, seq), jnp.int32)
         tt = jnp.zeros((batch, seq), jnp.int32)
@@ -411,7 +412,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
         # unc-nlp/lxmert-base geometry: 9/5/5 stacks over 36 ROI features
         cfg = LxmertConfig(dtype=dtype, attn_impl=attn_impl)
         model = LxmertClassifier(cfg, NUM_LABELS, dropout=0.05)
-        seq = SEQ
+        seq = seq_len or SEQ
         ids = jnp.asarray(rng.randint(4, cfg.vocab_size, (batch, seq)), jnp.int32)
         mask = jnp.ones((batch, seq), jnp.int32)
         tt = jnp.zeros((batch, seq), jnp.int32)
@@ -446,7 +447,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
                             attn_impl=attn_impl)
         model = MmbtClassifier(cfg, NUM_LABELS, cnn_name="resnet152",
                                dropout=0.05)
-        seq = SEQ
+        seq = seq_len or SEQ
         ids = jnp.asarray(rng.randint(4, 30522, (batch, seq)), jnp.int32)
         mask = jnp.ones((batch, seq), jnp.int32)
         px = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
@@ -708,6 +709,13 @@ def main():
                         choices=["train", "eval"],
                         help="eval = the serving path (deterministic eval "
                              "step with exact TIM reuse, scanned dispatch)")
+    parser.add_argument("--seq", type=int, default=None,
+                        help="ablation: text width per batch (what "
+                             "--bucket_seq slices full-pad batches to; "
+                             "exact-parity under masking, "
+                             "tests/test_bucketing.py). Default = the "
+                             "reference pad (128; ViLT capped at 40). The "
+                             "graded metric stays at the reference pad")
     parser.add_argument("--quantize", default=None, choices=["w8"],
                         help="(--phase eval) weight-only int8 kernels "
                              "(w8a16 PTQ, ops/quant.py)")
@@ -729,6 +737,11 @@ def main():
                     else None),
         }))
 
+    if args.seq is not None and args.model == "mm_late":
+        parser.error("--seq applies to the family benches (vilt/lxmert/"
+                     "mmbt); the flagship's bucketed widths are measured by "
+                     "tests/perf_step_ablation.py (BASELINE.md)")
+
     if args.phase == "eval" and args.model != "mm_late":
         if args.quantize:
             parser.error("--quantize is only supported for the flagship "
@@ -737,9 +750,11 @@ def main():
             args.model, steps=args.steps, batch=args.batch,
             attn_impl=args.attn_impl,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl, phase="eval")
+            prng_impl=args.prng_impl, phase="eval", seq_len=args.seq)
         report(f"posts/sec/chip ({args.model} EVAL/serving path, "
-               f"batch {args.batch})", steps_per_sec, flops)
+               f"batch {args.batch}"
+               f"{f', seq {args.seq}' if args.seq else ''})",
+               steps_per_sec, flops)
         return
 
     if args.phase == "eval":
@@ -758,9 +773,12 @@ def main():
             args.model, steps=args.steps, batch=args.batch,
             attn_impl=args.attn_impl,
             steps_per_dispatch=args.steps_per_dispatch,
-            prng_impl=args.prng_impl, opt_kernel=args.opt_kernel)
+            prng_impl=args.prng_impl, opt_kernel=args.opt_kernel,
+            seq_len=args.seq)
         report(f"posts/sec/chip ({args.model} fine-tune, ITC+ITM, "
-               f"batch {args.batch})", steps_per_sec, flops)
+               f"batch {args.batch}"
+               f"{f', seq {args.seq}' if args.seq else ''})",
+               steps_per_sec, flops)
         return
 
     baseline = None
