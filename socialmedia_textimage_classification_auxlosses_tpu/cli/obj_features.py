@@ -155,7 +155,10 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
     # async, only the deferred fetch synchronises. Results are bit-identical
     # to the serial loop (same jitted program; tests/test_frcnn.py), vs the
     # reference's strictly per-image synchronous loop (obj_features.py:142-173).
-    B = 8
+    # B=16 amortises the tunnel dispatch+fetch over more images: measured
+    # 74-77 ms/image double-buffered vs 99-100 at B=8 (tests/perf_frcnn.py
+    # --pipeline 4 --batch 16, 2026-08-18).
+    B = 16
 
     def _decode_chunk(start):
         chunk = ids[start:start + B]
