@@ -710,12 +710,12 @@ def main():
                         help="eval = the serving path (deterministic eval "
                              "step with exact TIM reuse, scanned dispatch)")
     parser.add_argument("--seq", type=int, default=None,
-                        help="ablation: text width per batch (what "
-                             "--bucket_seq slices full-pad batches to; "
-                             "exact-parity under masking, "
+                        help="ablation (lxmert/mmbt): text width per batch "
+                             "(what --bucket_seq slices full-pad batches "
+                             "to; exact-parity under masking, "
                              "tests/test_bucketing.py). Default = the "
-                             "reference pad (128; ViLT capped at 40). The "
-                             "graded metric stays at the reference pad")
+                             "reference pad (128). The graded metric stays "
+                             "at the reference pad")
     parser.add_argument("--quantize", default=None, choices=["w8"],
                         help="(--phase eval) weight-only int8 kernels "
                              "(w8a16 PTQ, ops/quant.py)")
@@ -737,10 +737,17 @@ def main():
                     else None),
         }))
 
-    if args.seq is not None and args.model == "mm_late":
-        parser.error("--seq applies to the family benches (vilt/lxmert/"
-                     "mmbt); the flagship's bucketed widths are measured by "
-                     "tests/perf_step_ablation.py (BASELINE.md)")
+    if args.seq is not None:
+        if args.model == "mm_late":
+            parser.error("--seq applies to the family benches (lxmert/mmbt);"
+                         " the flagship's bucketed widths are measured by "
+                         "tests/perf_step_ablation.py (BASELINE.md)")
+        if args.model == "vilt":
+            parser.error("--seq: ViLT's text is already capped at its 40 "
+                         "checkpoint positions; --seq applies to lxmert/mmbt")
+        if not 2 <= args.seq <= 512:
+            parser.error(f"--seq {args.seq}: expected 2..512 (the families' "
+                         "position-embedding budget)")
 
     if args.phase == "eval" and args.model != "mm_late":
         if args.quantize:
