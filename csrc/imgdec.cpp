@@ -141,13 +141,11 @@ void jerr_exit(j_common_ptr cinfo) {
   longjmp(err->jmp, 1);
 }
 
-// Decode a JPEG file to RGB8. If target > 0, pick the largest DCT
+// Decode an in-memory JPEG to RGB8. If target > 0, pick the largest DCT
 // downscale (1/2, 1/4, 1/8) that keeps BOTH dims >= target. Returns
 // malloc'd buffer (caller frees) or nullptr.
-unsigned char* decode_jpeg(const char* path, int target, int* out_w,
-                           int* out_h) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return nullptr;
+unsigned char* decode_jpeg_mem(const unsigned char* data, unsigned long len,
+                               int target, int* out_w, int* out_h) {
   jpeg_decompress_struct cinfo;
   JerrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -155,12 +153,11 @@ unsigned char* decode_jpeg(const char* path, int target, int* out_w,
   unsigned char* buf = nullptr;
   if (setjmp(jerr.jmp)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
     std::free(buf);
     return nullptr;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   cinfo.dct_method = JDCT_ISLOW;  // PIL's accuracy baseline
@@ -183,13 +180,11 @@ unsigned char* decode_jpeg(const char* path, int target, int* out_w,
   const int ch = (int)cinfo.output_components;  // 3 with JCS_RGB
   if (ch != 3) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
     return nullptr;
   }
   buf = (unsigned char*)std::malloc((size_t)w * h * 3);
   if (!buf) {  // decompression bombs / memory pressure -> clean PIL fallback
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
     return nullptr;
   }
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -198,10 +193,31 @@ unsigned char* decode_jpeg(const char* path, int target, int* out_w,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
   *out_w = w;
   *out_h = h;
   return buf;
+}
+
+// Read a whole file (serving gets bytes directly; cache builds go via path).
+bool read_file(const char* path, std::vector<unsigned char>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long n = std::ftell(f);
+  if (n < 0) { std::fclose(f); return false; }
+  std::fseek(f, 0, SEEK_SET);
+  out->resize((size_t)n);
+  const bool ok = n == 0 || std::fread(out->data(), 1, (size_t)n, f) == (size_t)n;
+  std::fclose(f);
+  return ok;
+}
+
+unsigned char* decode_jpeg(const char* path, int target, int* out_w,
+                           int* out_h) {
+  std::vector<unsigned char> bytes;
+  if (!read_file(path, &bytes) || bytes.empty()) return nullptr;
+  return decode_jpeg_mem(bytes.data(), (unsigned long)bytes.size(), target,
+                         out_w, out_h);
 }
 
 // ---------------------------------------------------------------------------
@@ -209,27 +225,35 @@ unsigned char* decode_jpeg(const char* path, int target, int* out_w,
 // convert("RGB"))
 // ---------------------------------------------------------------------------
 
-unsigned char* decode_png(const char* path, int* out_w, int* out_h) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return nullptr;
-  unsigned char sig[8];
-  if (std::fread(sig, 1, 8, f) != 8 || png_sig_cmp(sig, 0, 8)) {
-    std::fclose(f);
+struct PngMemCursor {
+  const unsigned char* data;
+  size_t len, pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngMemCursor* c = (PngMemCursor*)png_get_io_ptr(png);
+  if (c->pos + n > c->len) png_error(png, "read past end");
+  std::memcpy(out, c->data + c->pos, n);
+  c->pos += n;
+}
+
+unsigned char* decode_png_mem(const unsigned char* data, size_t len,
+                              int* out_w, int* out_h) {
+  if (len < 8 || png_sig_cmp(const_cast<unsigned char*>(data), 0, 8))
     return nullptr;
-  }
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
-  if (!png) { std::fclose(f); return nullptr; }
+  if (!png) return nullptr;
   png_infop info = png_create_info_struct(png);
   unsigned char* buf = nullptr;
   std::vector<png_bytep> rows;
+  PngMemCursor cur{data, len, 8};
   if (!info || setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
-    std::fclose(f);
     std::free(buf);
     return nullptr;
   }
-  png_init_io(png, f);
+  png_set_read_fn(png, &cur, png_mem_read);
   png_set_sig_bytes(png, 8);
   png_read_info(png, info);
   const int w = (int)png_get_image_width(png, info);
@@ -249,17 +273,25 @@ unsigned char* decode_png(const char* path, int* out_w, int* out_h) {
   buf = (unsigned char*)std::malloc((size_t)w * h * 3);
   if (!buf) {
     png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(f);
     return nullptr;
   }
   rows.resize((size_t)h);
   for (int y = 0; y < h; ++y) rows[(size_t)y] = buf + (size_t)y * w * 3;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
-  std::fclose(f);
   *out_w = w;
   *out_h = h;
   return buf;
+}
+
+unsigned char* decode_png(const char* path, int* out_w, int* out_h) {
+  std::vector<unsigned char> bytes;
+  if (!read_file(path, &bytes)) return nullptr;
+  return decode_png_mem(bytes.data(), bytes.size(), out_w, out_h);
+}
+
+bool is_png_mem(const unsigned char* data, size_t len) {
+  return len >= 8 && !png_sig_cmp(const_cast<unsigned char*>(data), 0, 8);
 }
 
 bool is_png(const char* path) {
@@ -282,6 +314,21 @@ int smtc_decode_resize(const char* path, int out_size, unsigned char* out) {
   int w = 0, h = 0;
   unsigned char* buf = is_png(path) ? decode_png(path, &w, &h)
                                     : decode_jpeg(path, out_size, &w, &h);
+  if (!buf) return -1;
+  resize_triangle_rgb(buf, w, h, out_size, out);
+  std::free(buf);
+  return 0;
+}
+
+// In-memory variant (serving: requests arrive as base64 bytes, no file).
+int smtc_decode_resize_mem(const unsigned char* data, long len, int out_size,
+                           unsigned char* out) {
+  if (len <= 0) return -1;
+  int w = 0, h = 0;
+  unsigned char* buf =
+      is_png_mem(data, (size_t)len)
+          ? decode_png_mem(data, (size_t)len, &w, &h)
+          : decode_jpeg_mem(data, (unsigned long)len, out_size, &w, &h);
   if (!buf) return -1;
   resize_triangle_rgb(buf, w, h, out_size, out);
   std::free(buf);

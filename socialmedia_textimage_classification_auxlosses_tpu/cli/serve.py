@@ -69,6 +69,16 @@ def parse_args(argv=None):
     parser.add_argument("--frcnn_ckpt", type=str, default=None,
                         help="(--model lxmert) detector checkpoint")
     parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--img_decoder", type=str, default="pil",
+                        choices=["pil", "native"],
+                        help="native = C++ in-memory JPEG/PNG decode + "
+                             "resize for request images (csrc/imgdec.cpp; "
+                             "DCT-scaled JPEG decode, so large photos never "
+                             "materialize at full resolution). Applies to "
+                             "the square-resize families; the CNN "
+                             "center-crop recipe and the lxmert detector "
+                             "canvas stay PIL. Falls back to PIL per image "
+                             "on any decode failure")
     parser.add_argument("--txt_model_name", type=str, default="bernice",
                         choices=["bert", "bernice", "bertweet", "roberta"])
     parser.add_argument("--img_model_name", type=str, default="vit",
@@ -288,9 +298,13 @@ def build_service(args):
         else:
             pixels = np.zeros((b, image_size, image_size, 3), np.uint8)
             for i, (_, img) in enumerate(requests):
-                if img is not None:
+                if img is None:
                     # reference empty-image flow for img=None
                     # (datasets.py:168-170)
+                    continue
+                if isinstance(img, np.ndarray):
+                    pixels[i] = img  # --img_decoder native pre-resized
+                else:
                     pixels[i] = resize_to_u8(img, image_size,
                                              center_crop_from=center_crop_from)
             batch["pixel_values"] = pixels
@@ -306,6 +320,16 @@ def build_service(args):
             })
         return out
 
+    native_size = None
+    if (getattr(args, "img_decoder", "pil") == "native"
+            and detector is None and center_crop_from is None):
+        from ..data.native import imgdec_available
+
+        if imgdec_available():
+            native_size = image_size
+        else:
+            logger.warning("--img_decoder native: imgdec build unavailable; "
+                           "serving with PIL decode")
     meta = {
         "model": (f"{args.txt_model_name}-{args.img_model_name}-"
                   f"{args.fusion_name}" if family == "mm_late" else family),
@@ -314,6 +338,7 @@ def build_service(args):
         "num_labels": cfg.num_labels,
         "max_batch": b,
         "model_path": None if args.random_init else model_path,
+        "native_size": native_size,
     }
     return predict_batch, meta
 
@@ -402,11 +427,19 @@ class MicroBatcher:
                     raise
 
 
-def _decode_image(payload, image_root=None):
+def _decode_image(payload, image_root=None, native_size=None):
+    """-> PIL Image, or a pre-resized (s, s, 3) uint8 array when the
+    native decoder handled the request (``--img_decoder native``)."""
     from PIL import Image
 
     if payload.get("image_b64"):
         raw = base64.b64decode(payload["image_b64"])
+        if native_size:
+            from ..data.native import native_decode_resize_mem
+
+            px = native_decode_resize_mem(raw, native_size)
+            if px is not None:
+                return px  # PIL fallback below on any decode failure
         return Image.open(io.BytesIO(raw)).convert("RGB")
     if payload.get("image_path"):
         # image_path lets any client with HTTP access name a server-side
@@ -423,6 +456,12 @@ def _decode_image(payload, image_root=None):
             raise ValueError("image_path escapes --image_root")
         if not os.path.isfile(path):
             raise ValueError("image_path is not a regular file")
+        if native_size:
+            from ..data.native import native_decode_resize
+
+            px = native_decode_resize(path, native_size)
+            if px is not None:
+                return px
         return Image.open(path).convert("RGB")
     return None
 
@@ -500,7 +539,8 @@ def make_server(args, batcher: MicroBatcher, meta):
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 text = payload.get("text", "")
-                image = _decode_image(payload, args.image_root)
+                image = _decode_image(payload, args.image_root,
+                                      meta.get("native_size"))
             except Exception as e:
                 self._send(400, {"error": repr(e)})
                 return

@@ -304,6 +304,11 @@ def get_imgdec_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.smtc_decode_resize_mem.restype = ctypes.c_int
+    lib.smtc_decode_resize_mem.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _imgdec_lib = lib
     return _imgdec_lib
 
@@ -321,6 +326,22 @@ def native_decode_resize(path: str, size: int) -> Optional[np.ndarray]:
     out = np.empty((size, size, 3), np.uint8)
     rc = lib.smtc_decode_resize(
         os.fsencode(path), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def native_decode_resize_mem(data: bytes, size: int) -> Optional[np.ndarray]:
+    """In-memory decode (JPEG/PNG sniffed by signature) + resize to
+    (size, size, 3) uint8 — the serving request path (image_b64 bytes,
+    no file). None on any failure — the caller falls back to PIL."""
+    lib = get_imgdec_lib()
+    if lib is None or not data:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    rc = lib.smtc_decode_resize_mem(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(data)), size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 

@@ -313,3 +313,54 @@ def test_warm_service_covers_all_detector_shapes(monkeypatch):
                    [("a", port)], [("a", port), ("b", land)]):
         predict_batch(window)
     assert det._fused._cache_size() == warmed
+
+
+def test_native_decoder_service(tmp_path):
+    """--img_decoder native: request images decode+resize in C++
+    (in-memory for image_b64), land as pre-resized arrays, and produce
+    predictions matching the PIL decode path within the documented
+    decoder bounds (tests/test_native_imgdec.py)."""
+    import base64 as b64mod
+    import io as iomod
+
+    import numpy as np
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+    from socialmedia_textimage_classification_auxlosses_tpu.data.native import (
+        imgdec_available,
+    )
+
+    if not imgdec_available():
+        pytest.skip("native imgdec toolchain unavailable")
+
+    args = serve.parse_args([
+        "--task", "3", "--txt_model_name", "bert", "--img_model_name", "vit",
+        "--fusion_name", "attention", "--arch", "tiny", "--max_batch", "2",
+        "--random_init", "--img_decoder", "native",
+    ])
+    predict_batch, meta = serve.build_service(args)
+    assert meta["native_size"] is not None
+
+    rng = np.random.RandomState(3)
+    img = Image.fromarray(rng.randint(0, 255, (300, 400, 3), np.uint8))
+    buf = iomod.BytesIO()
+    img.save(buf, "JPEG")
+    raw = buf.getvalue()
+    payload = {"image_b64": b64mod.b64encode(raw).decode()}
+
+    native = serve._decode_image(payload, None, meta["native_size"])
+    assert isinstance(native, np.ndarray)
+    assert native.shape == (meta["native_size"],) * 2 + (3,)
+    pil = serve._decode_image(payload, None, None)
+    assert not isinstance(pil, np.ndarray)
+
+    out_native = predict_batch([("a photo", native)])[0]
+    out_pil = predict_batch([("a photo", pil)])[0]
+    np.testing.assert_allclose(out_native["probs"], out_pil["probs"],
+                               atol=0.05)
+
+    # garbage bytes fall back to PIL, which raises -> the handler's 400 path
+    with pytest.raises(Exception):
+        serve._decode_image({"image_b64": b64mod.b64encode(b"junk").decode()},
+                            None, meta["native_size"])
