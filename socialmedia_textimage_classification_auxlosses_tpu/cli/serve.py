@@ -12,7 +12,9 @@ a production deployment needs an online path. This runner loads a trained
     POST /classify   {"text": "...", "image_b64": "<base64 bytes>" |
                       "image_path": "p.jpg"}   ->
                      {"prediction": k, "class": "...", "probs": [...]}
-    GET  /healthz    liveness + model identity
+    GET  /healthz    liveness + model identity + traffic counters
+    GET  /metrics    Prometheus text exposition (requests/errors/windows
+                     counters + per-window dispatch latency histogram)
 
 ``image_path`` names a server-side file and is therefore DISABLED unless
 ``--image_root DIR`` confines it (paths resolve inside DIR, regular files
@@ -350,6 +352,9 @@ class MicroBatcher:
     window closes or ``max_batch`` requests are pending. Callers block on a
     per-request event and get their row of the batched result."""
 
+    # per-window dispatch latency histogram bounds (seconds) for /metrics
+    LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5)
+
     def __init__(self, predict_batch, max_batch: int, window_ms: float):
         self._predict = predict_batch
         self._max = max_batch
@@ -357,11 +362,14 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = False
-        # served-traffic counters (surfaced on /healthz)
+        # served-traffic counters (surfaced on /healthz and /metrics).
+        # All writes happen on the single dispatcher thread; handler-thread
+        # reads are monotonic-counter snapshots, which is all a scrape needs.
         self.requests = 0
         self.windows = 0
         self.errors = 0
         self.dispatch_seconds = 0.0
+        self.latency_counts = [0] * (len(self.LATENCY_BUCKETS) + 1)  # +Inf
         self._thread.start()
 
     def stats(self) -> dict:
@@ -370,6 +378,42 @@ class MicroBatcher:
                 "errors": self.errors,
                 "mean_batch": round(self.requests / w, 2),
                 "mean_dispatch_ms": round(self.dispatch_seconds / w * 1e3, 2)}
+
+    def prometheus_text(self, meta: dict) -> str:
+        """Prometheus text exposition (0.0.4) of the serving counters."""
+        lines = [
+            "# HELP smtc_serving_requests_total classify requests served",
+            "# TYPE smtc_serving_requests_total counter",
+            f"smtc_serving_requests_total {self.requests}",
+            "# HELP smtc_serving_errors_total requests failed in dispatch",
+            "# TYPE smtc_serving_errors_total counter",
+            f"smtc_serving_errors_total {self.errors}",
+            "# HELP smtc_serving_windows_total device dispatch windows",
+            "# TYPE smtc_serving_windows_total counter",
+            f"smtc_serving_windows_total {self.windows}",
+            "# HELP smtc_serving_dispatch_seconds per-window device "
+            "dispatch latency",
+            "# TYPE smtc_serving_dispatch_seconds histogram",
+        ]
+        cum = 0
+        for le, n in zip(self.LATENCY_BUCKETS, self.latency_counts):
+            cum += n
+            lines.append(
+                f'smtc_serving_dispatch_seconds_bucket{{le="{le}"}} {cum}')
+        cum += self.latency_counts[-1]
+        lines.append(f'smtc_serving_dispatch_seconds_bucket{{le="+Inf"}} '
+                     f"{cum}")
+        lines.append(f"smtc_serving_dispatch_seconds_sum "
+                     f"{self.dispatch_seconds:.6f}")
+        lines.append(f"smtc_serving_dispatch_seconds_count {cum}")
+        ident = str(meta.get("model", "")).replace('"', "")
+        lines += [
+            "# HELP smtc_serving_info model identity (value is always 1)",
+            "# TYPE smtc_serving_info gauge",
+            f'smtc_serving_info{{model="{ident}",'
+            f'task="{meta.get("task", "")}"}} 1',
+        ]
+        return "\n".join(lines) + "\n"
 
     def submit(self, text, image, timeout: float = 600.0):
         if self._stop or not self._thread.is_alive():
@@ -409,9 +453,15 @@ class MicroBatcher:
             t0 = time.monotonic()
             try:
                 results = self._predict([(t, im) for t, im, _ in pending])
+                dt = time.monotonic() - t0
                 self.windows += 1
                 self.requests += len(pending)
-                self.dispatch_seconds += time.monotonic() - t0
+                self.dispatch_seconds += dt
+                i = 0
+                while (i < len(self.LATENCY_BUCKETS)
+                       and dt > self.LATENCY_BUCKETS[i]):
+                    i += 1
+                self.latency_counts[i] += 1
                 for (_, _, slot), res in zip(pending, results):
                     slot["result"] = res
                     slot["done"].set()
@@ -528,6 +578,14 @@ def make_server(args, batcher: MicroBatcher, meta):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", **meta,
                                  **batcher.stats()})
+            elif self.path == "/metrics":
+                body = batcher.prometheus_text(meta).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 

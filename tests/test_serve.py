@@ -91,6 +91,35 @@ def test_healthz_and_classify_text_only(service):
     assert res["class"] == service["cfg"].classes[res["prediction"]]
 
 
+def test_metrics_prometheus_exposition(service):
+    """GET /metrics: Prometheus 0.0.4 text with the traffic counters and
+    the per-window dispatch-latency histogram, consistent after traffic."""
+    _post(service["port"], {"text": "metrics probe"})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{service['port']}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    metrics = {}
+    for line in body.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, value = line.rsplit(" ", 1)
+        metrics[name] = float(value)
+    assert metrics["smtc_serving_requests_total"] >= 1
+    assert metrics["smtc_serving_errors_total"] >= 0
+    windows = metrics["smtc_serving_windows_total"]
+    assert windows >= 1
+    # histogram: buckets cumulative, +Inf == count == windows served
+    buckets = [(k, v) for k, v in metrics.items()
+               if k.startswith("smtc_serving_dispatch_seconds_bucket")]
+    cums = [v for _, v in buckets]
+    assert cums == sorted(cums)
+    assert metrics['smtc_serving_dispatch_seconds_bucket{le="+Inf"}'] \
+        == metrics["smtc_serving_dispatch_seconds_count"] == windows
+    assert metrics["smtc_serving_dispatch_seconds_sum"] >= 0
+    assert 'smtc_serving_info{model="bert-vit-attention",task="3"} 1' in body
+
+
 def test_classify_with_image_matches_direct(service):
     from PIL import Image
 
