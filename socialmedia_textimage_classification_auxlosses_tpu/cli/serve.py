@@ -137,6 +137,11 @@ def parse_args(argv=None):
                              "the batch fills")
     parser.add_argument("--random_init", action="store_true",
                         help="serve random-init weights (smoke tests only)")
+    parser.add_argument("--drain_timeout", type=float, default=10.0,
+                        help="seconds SIGTERM waits for in-flight requests "
+                             "to finish before the process exits (rolling "
+                             "restarts: stop accepting, answer what's "
+                             "queued, then die)")
     return parser.parse_args(argv)
 
 
@@ -370,6 +375,8 @@ class MicroBatcher:
         self.errors = 0
         self.dispatch_seconds = 0.0
         self.latency_counts = [0] * (len(self.LATENCY_BUCKETS) + 1)  # +Inf
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._thread.start()
 
     def stats(self) -> dict:
@@ -420,12 +427,31 @@ class MicroBatcher:
             raise RuntimeError("serving dispatcher is not running")
         done = threading.Event()
         slot = {"done": done}
-        self._q.put((text, image, slot))
-        if not done.wait(timeout):
-            raise RuntimeError("serving dispatch timed out")
-        if "error" in slot:
-            raise RuntimeError(slot["error"])
-        return slot["result"]
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            self._q.put((text, image, slot))
+            if not done.wait(timeout):
+                raise RuntimeError("serving dispatch timed out")
+            if "error" in slot:
+                raise RuntimeError(slot["error"])
+            return slot["result"]
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+
+    def drain(self, timeout: float = 10.0) -> bool:
+        """Block until every ``submit`` in flight has returned (graceful
+        shutdown: callers hold their answer before the process exits).
+        Returns False if requests were still pending at the deadline."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._inflight_lock:
+                if self._inflight == 0:
+                    return True
+            time.sleep(0.01)
+        with self._inflight_lock:
+            return self._inflight == 0
 
     def close(self):
         self._stop = True
@@ -620,22 +646,54 @@ def make_server(args, batcher: MicroBatcher, meta):
 
 
 def main(argv=None):
+    import signal
+
     args = parse_args(argv)
     enable_compile_cache()
     seed_everything(args.seed, args=args)
+    state = {"server": None, "stopping": False}
+
+    def _graceful(signum, frame):
+        # Serving phase: stop the accept loop; in-flight handlers keep
+        # running and the finally-block drains them. shutdown() must run
+        # OFF the serve_forever thread (it blocks until that loop exits).
+        # Build/warm-up phase (no server yet): nothing is in flight — exit
+        # now, cleanly, instead of dying on the default handler mid-compile.
+        state["stopping"] = True
+        srv = state["server"]
+        if srv is not None:
+            logger.info("signal %d: stopping accept loop and draining",
+                        signum)
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+        else:
+            logger.info("signal %d during build/warm-up: exiting", signum)
+            raise SystemExit(128 + signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful)
+    except ValueError:  # signal only works on the main thread (test drivers)
+        logger.warning("not on the main thread: SIGTERM drain disabled")
+
     predict_batch, meta = build_service(args)
     warm_service(args, predict_batch)
     batcher = MicroBatcher(predict_batch, args.max_batch,
                            args.batch_window_ms)
     server = make_server(args, batcher, meta)
+    state["server"] = server
     logger.info("serving %s on %s:%d (max_batch=%d, window=%.1fms)",
                 meta["model"], args.host, server.server_address[1],
                 args.max_batch, args.batch_window_ms)
     try:
-        server.serve_forever()
+        if not state["stopping"]:
+            server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if batcher.drain(timeout=args.drain_timeout):
+            time.sleep(0.1)  # response writes right after submit() returns
+        else:
+            logger.warning("drain timeout (%.1fs): exiting with requests "
+                           "still in flight", args.drain_timeout)
         batcher.close()
         server.server_close()
 

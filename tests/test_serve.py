@@ -120,6 +120,38 @@ def test_metrics_prometheus_exposition(service):
     assert 'smtc_serving_info{model="bert-vit-attention",task="3"} 1' in body
 
 
+def test_microbatcher_drain_waits_for_inflight():
+    """Graceful shutdown: drain() only reports done once every submitted
+    request has its answer (SIGTERM path in serve.main)."""
+    import time
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    release = threading.Event()
+
+    def slow_predict(reqs):
+        release.wait(10)
+        return [{"prediction": 0, "class": None, "probs": [1.0]}
+                for _ in reqs]
+
+    b = serve.MicroBatcher(slow_predict, max_batch=2, window_ms=1.0)
+    try:
+        assert b.drain(timeout=0.05)  # idle server drains immediately
+        got = {}
+        t = threading.Thread(
+            target=lambda: got.update(r=b.submit("x", None, timeout=30)))
+        t.start()
+        time.sleep(0.15)  # request now sits inside the slow dispatch
+        assert not b.drain(timeout=0.2)
+        release.set()
+        assert b.drain(timeout=10.0)
+        t.join(timeout=5)
+        assert got["r"]["prediction"] == 0
+    finally:
+        release.set()
+        b.close()
+
+
 def test_classify_with_image_matches_direct(service):
     from PIL import Image
 
