@@ -3,7 +3,12 @@ vmapped compiled program (see ``train/ensemble.py``).
 
 Equivalent to N invocations of ``run_mm_late`` differing only in ``--seed``;
 per-seed artifacts use the standard naming so downstream analysis is
-unchanged.
+unchanged. By default every seed gets its OWN data subsample/shuffle stream
+and its own RNG root — the reference's N-independent-runs semantics
+(seeding at reference ``run_mm_late.py:48-49`` drives subsampling and batch
+order, not just init). ``--shared_data`` opts into one shared stream (one
+input pipeline for all seeds; faster, but per-seed variance is understated
+vs the paper's protocol — a loud warning says so).
 
     python -m ....cli.run_seed_sweep --txt_model_name bernice \
         --img_model_name vit --fusion_name attention --task 2 \
@@ -13,14 +18,13 @@ unchanged.
 from __future__ import annotations
 
 import argparse
+import copy
 
 import jax
-import numpy as np
 
 from ..core import config as C
-from ..models.fusion import init_mm_late_params
 from ..train.checkpoint import save_params
-from ..train.ensemble import EnsembleTrainer, stack_seed_params
+from ..train.ensemble import EnsembleTrainer
 from ..utils.logging import get_logger
 from ._build import build_mm_late_setup
 from ._common import (add_common_args, results_dir_for, save_predictions_csv,
@@ -40,39 +44,72 @@ def parse_args(argv=None):
     parser.add_argument("--seeds", type=str, default="30,40,50",
                         help="comma-separated seeds trained simultaneously")
     parser.add_argument("--nsamples", type=int, default=-1)
+    parser.add_argument("--shared_data", action="store_true",
+                        help="all seeds share ONE subsample/shuffle stream "
+                             "(the first seed's). Cheaper, but deviates from "
+                             "the reference's N-independent-runs protocol: "
+                             "only init/dropout/ITM draws vary, so per-seed "
+                             "variance is understated")
     add_common_args(parser, multimodal=True)
     return parser.parse_args(argv)
+
+
+def build_seed_setups(args, seeds):
+    """One ``build_mm_late_setup`` per seed (the reference's N separate runs
+    each re-draw the data subsample, re-seed the shuffle stream, and re-init
+    the model — ``run_mm_late.py:48-49``); params come out with the same
+    pretrained-tower imports a single run gets."""
+    setups = []
+    for s in seeds:
+        a = copy.deepcopy(args)
+        a.seed = s
+        cfg_s = C.Config(a)
+        setups.append(build_mm_late_setup(a, cfg_s))
+    return setups
 
 
 def main(argv=None):
     args = parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
-    args.seed = seeds[0]  # data subsampling/shuffle stream
+    args.seed = seeds[0]
     seed_everything(args.seed, getattr(args, "prng_impl", None), args=args)
     results_dir = results_dir_for(C.results_dir_mm_late, args.testing)
-    logger.info("Seed sweep %s: %s-%s %s task %s", seeds, args.txt_model_name,
-                args.img_model_name, args.fusion_name, args.task)
+    independent = not args.shared_data
+    logger.info("Seed sweep %s (%s data): %s-%s %s task %s", seeds,
+                "independent" if independent else "SHARED",
+                args.txt_model_name, args.img_model_name, args.fusion_name,
+                args.task)
+    if not independent:
+        logger.warning(
+            "--shared_data: all seeds share seed %d's subsample/shuffle "
+            "stream — this deviates from the reference's N-independent-runs "
+            "protocol (run_mm_late.py:48-49) and will UNDERSTATE per-seed "
+            "variance; drop the flag for the paper's semantics", seeds[0])
 
     cfg = C.Config(args)
-    setup = build_mm_late_setup(args, cfg)
+    setups = build_seed_setups(args, seeds)
+    setup = setups[0]
 
-    # re-init one param tree per seed, stacked (imported pretrained towers are
-    # identical across seeds in the reference protocol too — only heads and
-    # dropout/ITM draws differ; we stack the already-imported tree and re-draw
-    # the heads per seed)
-    model = setup.model
-    pipes = setup.pipes
-    sample = next(pipes["train"].batches())
+    # class weights are computed from the train subsample (prep.py) — under
+    # --testing the per-seed subsamples differ, and the compiled step closes
+    # over ONE weight vector; call out the (smoke-mode-only) deviation
+    if independent and setup.class_weights is not None:
+        import numpy as np
+
+        if not all(np.allclose(np.asarray(setup.class_weights),
+                               np.asarray(s.class_weights))
+                   for s in setups[1:]):
+            logger.warning(
+                "per-seed class weights differ (subsample-dependent under "
+                "--testing); the sweep applies seed %d's weights to every "
+                "seed — run seeds separately for exact weighting", seeds[0])
+
+    # stack the per-seed param trees (each carries its own init draw AND the
+    # pretrained-tower imports, exactly like N separate runs)
     import jax.numpy as jnp
 
-    def init_fn(key):
-        return init_mm_late_params(
-            model, key, jnp.asarray(sample["ids"]), jnp.asarray(sample["mask"]),
-            jnp.asarray(np.zeros_like(sample["pixel_values"], np.float32)),
-            jnp.asarray(sample["token_type_ids"]) if "token_type_ids" in sample else None,
-        )
-
-    params_stacked = stack_seed_params(init_fn, seeds)
+    params_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[s.params for s in setups])
 
     def forward_with_norm(p, batch, tim_inputs, dropout_rng, deterministic):
         return setup.forward_fn(p, batch, tim_inputs, dropout_rng, deterministic)
@@ -81,8 +118,14 @@ def main(argv=None):
         forward_with_norm, setup.loss_cfg, setup.tx, params_stacked, seeds,
         class_weights=setup.class_weights, multilabel=cfg.multilabel,
         num_labels=cfg.num_labels, metric_names=C.metric_names,
-        log_every=args.log_every,
+        log_every=args.log_every, independent_data=independent,
     )
+
+    if independent:
+        pipes = {name: [s.pipes[name] for s in setups]
+                 for name in ("train", "val", "test")}
+    else:
+        pipes = setup.pipes
 
     loss_str = cfg.loss_str
     nsamples_str = "" if args.nsamples == -1 else "N" + str(args.nsamples) + "_"
