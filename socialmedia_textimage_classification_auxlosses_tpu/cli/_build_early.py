@@ -63,8 +63,9 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         weights = data_splits.pop("_weights", None)
 
     if model_name == "vilt":
+        vilt_exact = getattr(args, "vilt_exact_resize", False)
         geo = vilt_geometry(model_dir)
-        if args.arch != "base":
+        if args.arch != "base" and not vilt_exact:
             geo = {"patch": 32, "image_size": 64}
         enc_cfg = EncoderConfig(
             vocab_size=vocab, hidden=hidden, layers=layers, heads=heads,
@@ -86,14 +87,26 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             from ..parallel.pp_text import with_pp_runner
 
             enc_cfg = with_pp_runner(enc_cfg, pp.mesh, pp.num_micro, pp.num_levels)
+        canvas = None
+        if vilt_exact:
+            # HF ViltProcessor geometry per sample (reference
+            # datasets.py:224-227 + mm_early.py:205-226): aspect-preserving
+            # resize to a masked static canvas; the position grid stays at
+            # the checkpoint's (image_size // patch)^2 layout
+            from ..data.images import vilt_canvas
+
+            canvas = vilt_canvas(geo["image_size"])
         model = ViltClassifier(enc_cfg, cfg.num_labels, patch=geo["patch"],
                                image_size=geo["image_size"], dropout=cfg.dropout,
-                               tim_batched=tim_batched)
+                               tim_batched=tim_batched, canvas_size=canvas)
         L = cfg.max_length
         ids0 = jnp.zeros((2, L), jnp.int32)
-        px0 = jnp.zeros((2, geo["image_size"], geo["image_size"], 3), jnp.float32)
-        params = init_vilt_params(model, jax.random.PRNGKey(args.seed),
-                                  ids0, ids0, ids0, px0)
+        px0 = jnp.zeros((2, canvas or geo["image_size"],
+                         canvas or geo["image_size"], 3), jnp.float32)
+        params = init_vilt_params(
+            model, jax.random.PRNGKey(args.seed), ids0, ids0, ids0, px0,
+            grid_hw=(jnp.full((2, 2), geo["image_size"], jnp.int32)
+                     if vilt_exact else None))
         from ..models import hf_import as H
 
         params = H.maybe_import_vilt(params, model_dir, layers,
@@ -106,7 +119,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             pixels = normalize_on_device(batch["pixel_values"], mean, std, dtype)
             return model.apply(
                 p, batch["ids"], batch["mask"], batch.get("token_type_ids"),
-                pixels,
+                pixels, grid_hw=batch.get("grid_hw"),
                 tim_ids=None if tim_inputs is None else tim_inputs["ids"],
                 tim_mask=None if tim_inputs is None else tim_inputs["mask"],
                 tim_token_type_ids=None if tim_inputs is None else tim_inputs["token_type_ids"],
@@ -114,6 +127,15 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
             )
 
         def image_source_fn(split):
+            if vilt_exact:
+                from ..data.pipeline import ExactViltImageSource
+
+                if getattr(args, "use_saved_features", False):
+                    logger.warning("--vilt_exact_resize decodes per sample "
+                                   "(memoised); --use_saved_features' fixed-"
+                                   "square uint8 cache does not apply")
+                return ExactViltImageSource(cfg.img_fmt,
+                                            shortest=geo["image_size"])
             return make_image_source(
                 cfg.img_fmt, ids=split.ids, size=geo["image_size"],
                 use_cache=getattr(args, "use_saved_features", False),
@@ -122,7 +144,7 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
 
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
                                   max_length=cfg.max_length,
-                                  image_size=geo["image_size"],
+                                  image_size=canvas or geo["image_size"],
                                   seq_buckets=seq_buckets_from(args))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     elif model_name == "mmbt":

@@ -33,6 +33,17 @@ def parse_args(argv=None):
     parser.add_argument("--import_reference_ckpt", type=str, default=None,
                         help="path to a reference-trained ViLT/Lxmert wrapper "
                              ".pth state dict to import")
+    parser.add_argument("--vilt_exact_resize", action="store_true",
+                        help="(--model vilt) HF ViltProcessor preprocessing "
+                             "semantics: per-sample aspect-preserving resize "
+                             "(shortest edge 384, longer capped, /32 floor) "
+                             "onto a fixed masked canvas + per-sample "
+                             "position-grid interpolation — the reference's "
+                             "pad_and_create_pixel_mask collate "
+                             "(mm_early.py:205-226) with static XLA shapes. "
+                             "Default mode resizes to a fixed square "
+                             "(faster: 145 image tokens vs 362; delta "
+                             "quantified in tests/test_vilt_exact.py)")
     parser.add_argument("--tim_two_pass", action="store_true",
                         help="run the TIM pass as the reference's second "
                              "sequential backbone pass (mm_early.py:78-92) "

@@ -89,6 +89,54 @@ def load_pixels_u8(
     )
 
 
+def vilt_exact_geometry(height: int, width: int, shortest: int = 384,
+                        size_divisor: int = 32):
+    """HF ``ViltImageProcessor`` output geometry (the reference's per-sample
+    preprocessing, reference datasets.py:224-227): shortest edge -> 384
+    preserving aspect, longer edge capped at ``int(1333/800*384) = 639``,
+    both floored to a multiple of 32. The largest reachable dimension is
+    therefore 608 (the ``vilt_canvas`` constant). Degenerate aspect ratios
+    that HF would collapse to a zero dimension are clamped to one divisor
+    (HF itself crashes there)."""
+    longer = int(1333 / 800 * shortest)
+    scale = shortest / min(height, width)
+    if height < width:
+        nh, nw = float(shortest), scale * width
+    else:
+        nh, nw = scale * height, float(shortest)
+    if max(nh, nw) > longer:
+        s2 = longer / max(nh, nw)
+        nh, nw = nh * s2, nw * s2
+    nh, nw = int(nh + 0.5), int(nw + 0.5)
+    nh = max(nh // size_divisor * size_divisor, size_divisor)
+    nw = max(nw // size_divisor * size_divisor, size_divisor)
+    return nh, nw
+
+
+def vilt_canvas(shortest: int = 384, size_divisor: int = 32) -> int:
+    """Smallest static square covering every ``vilt_exact_geometry`` output
+    (XLA static shapes vs the reference's pad-to-batch-max collate,
+    reference mm_early.py:205-226 — extra area is fully masked)."""
+    longer = int(1333 / 800 * shortest)
+    return max(longer // size_divisor * size_divisor, shortest)
+
+
+def vilt_exact_resize_u8(img, shortest: int = 384, size_divisor: int = 32):
+    """Aspect-preserving BICUBIC resize per HF ``ViltImageProcessor`` (the
+    resample/geometry the reference's ``ViltProcessor`` applies per sample),
+    pasted top-left into the fixed uint8 canvas. Returns ``(frame, (h, w))``
+    — the true pixel extent drives the patch mask and per-sample
+    position-embedding interpolation in models/vilt.py."""
+    from PIL import Image
+
+    w, h = img.size
+    nh, nw = vilt_exact_geometry(h, w, shortest, size_divisor)
+    canvas = vilt_canvas(shortest, size_divisor)
+    frame = np.zeros((canvas, canvas, 3), np.uint8)
+    frame[:nh, :nw] = np.asarray(img.resize((nw, nh), Image.BICUBIC), np.uint8)
+    return frame, (nh, nw)
+
+
 def normalize_on_device(pixels_u8, mean, std, dtype):
     """uint8 NHWC -> normalized NHWC in compute dtype. Pure jnp; lives inside
     the jitted step so XLA fuses it with the patch conv."""

@@ -57,6 +57,48 @@ class LazyImageSource:
         return out
 
 
+class ExactViltImageSource:
+    """``--vilt_exact_resize``: HF ViltProcessor geometry per sample
+    (aspect-preserving resize + fixed masked canvas, images.py
+    vilt_exact_resize_u8) instead of the default fixed-square resize.
+    ``gather`` returns ``(frames, grid_hw)``; ``returns_grid`` tells the
+    pipeline to emit the per-sample patch-grid extents as ``grid_hw``."""
+
+    returns_grid = True
+
+    def __init__(self, img_fmt: str, shortest: int = 384,
+                 empty_image=None, on_missing="zeros"):
+        from .images import vilt_canvas
+
+        self.img_fmt = img_fmt
+        self.shortest = shortest
+        self.canvas = vilt_canvas(shortest)
+        self.empty_image = empty_image
+        self.on_missing = on_missing
+        self._memo: Dict[str, tuple] = {}
+
+    def gather(self, ids):
+        from .images import open_image, vilt_exact_resize_u8
+
+        frames = np.empty((len(ids), self.canvas, self.canvas, 3), np.uint8)
+        grids = np.empty((len(ids), 2), np.int32)
+        for i, data_id in enumerate(ids):
+            key = str(data_id)
+            hit = self._memo.get(key)
+            if hit is None:
+                try:
+                    img = open_image(self.img_fmt, data_id, self.empty_image,
+                                     on_missing=self.on_missing)
+                    frame, (h, w) = vilt_exact_resize_u8(img, self.shortest)
+                except Exception:
+                    frame = np.zeros((self.canvas, self.canvas, 3), np.uint8)
+                    h = w = self.shortest
+                hit = (frame, (h, w))
+                self._memo[key] = hit
+            frames[i], grids[i] = hit[0], hit[1]
+        return frames, grids
+
+
 @dataclasses.dataclass
 class PipelineConfig:
     batch_size: int
@@ -181,9 +223,15 @@ class SplitPipeline:
                     tt = self.token_type_ids[idx]
                     batch["token_type_ids"] = tt[:, :blen] if blen else tt
             if self.image_source is not None and self.cfg.with_images:
-                batch["pixel_values"] = self.image_source.gather(
-                    [self.data_ids[i] for i in idx]
-                )
+                if getattr(self.image_source, "returns_grid", False):
+                    px, grid = self.image_source.gather(
+                        [self.data_ids[i] for i in idx])
+                    batch["pixel_values"] = px
+                    batch["grid_hw"] = grid
+                else:
+                    batch["pixel_values"] = self.image_source.gather(
+                        [self.data_ids[i] for i in idx]
+                    )
             if self.roi_cache is not None:
                 feats, boxes = self.roi_cache.gather([self.data_ids[i] for i in idx])
                 batch["roi_features"] = feats
