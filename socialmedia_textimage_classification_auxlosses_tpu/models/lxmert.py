@@ -249,6 +249,13 @@ class LxmertClassifier(nn.Module):
             "logit_scale", lambda k: jnp.asarray(self.logit_scale_init, jnp.float32)
         )
 
+    def backbone_outputs(self, ids, attention_mask, token_type_ids,
+                         visual_feats, visual_pos, deterministic=True):
+        """Raw (language_output, vision_output) — HF ``LxmertModel``'s
+        contract, used by cli/verify_imports.py for checkpoint parity."""
+        return self.backbone(ids, attention_mask, token_type_ids,
+                             visual_feats, visual_pos, deterministic)
+
     def _head(self, lang, deterministic):
         xt_xv = nn.relu(self.linear_fusion(lang[:, 0, :].astype(jnp.float32)))
         xt_xv = self.head_dropout(xt_xv, deterministic=deterministic)
