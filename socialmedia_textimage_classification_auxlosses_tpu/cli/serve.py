@@ -368,59 +368,89 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = False
         # served-traffic counters (surfaced on /healthz and /metrics).
-        # All writes happen on the single dispatcher thread; handler-thread
-        # reads are monotonic-counter snapshots, which is all a scrape needs.
+        # All writes happen on the single dispatcher thread, under
+        # _stats_lock so a scrape sees one consistent window (sum/count/
+        # windows agree — the dispatcher holds it only for the counter
+        # bump, never the device dispatch).
         self.requests = 0
         self.windows = 0
         self.errors = 0
         self.dispatch_seconds = 0.0
         self.latency_counts = [0] * (len(self.LATENCY_BUCKETS) + 1)  # +Inf
+        self._stats_lock = threading.Lock()
+        # in-flight accounting for drain(): submit() spans (queue -> answer);
+        # handler_started/finished span the WHOLE HTTP handler (JSON parse +
+        # image decode before submit, response write after), so SIGTERM
+        # drain can't cut off a response or drop a just-accepted request
         self._inflight = 0
         self._inflight_lock = threading.Lock()
         self._thread.start()
 
     def stats(self) -> dict:
-        w = max(self.windows, 1)
-        return {"requests": self.requests, "windows": self.windows,
-                "errors": self.errors,
-                "mean_batch": round(self.requests / w, 2),
-                "mean_dispatch_ms": round(self.dispatch_seconds / w * 1e3, 2)}
+        with self._stats_lock:
+            req, w, err = self.requests, self.windows, self.errors
+            disp = self.dispatch_seconds
+        d = max(w, 1)
+        return {"requests": req, "windows": w, "errors": err,
+                "mean_batch": round(req / d, 2),
+                "mean_dispatch_ms": round(disp / d * 1e3, 2)}
+
+    @staticmethod
+    def _escape_label(value) -> str:
+        """Prometheus text-exposition label escaping: backslash, double
+        quote, and newline must be escaped or the scrape is unparsable."""
+        return (str(value).replace("\\", r"\\").replace('"', r"\"")
+                .replace("\n", r"\n"))
 
     def prometheus_text(self, meta: dict) -> str:
         """Prometheus text exposition (0.0.4) of the serving counters."""
+        with self._stats_lock:  # one consistent scrape snapshot
+            requests, errors, windows = self.requests, self.errors, self.windows
+            dispatch_seconds = self.dispatch_seconds
+            latency_counts = list(self.latency_counts)
         lines = [
             "# HELP smtc_serving_requests_total classify requests served",
             "# TYPE smtc_serving_requests_total counter",
-            f"smtc_serving_requests_total {self.requests}",
+            f"smtc_serving_requests_total {requests}",
             "# HELP smtc_serving_errors_total requests failed in dispatch",
             "# TYPE smtc_serving_errors_total counter",
-            f"smtc_serving_errors_total {self.errors}",
+            f"smtc_serving_errors_total {errors}",
             "# HELP smtc_serving_windows_total device dispatch windows",
             "# TYPE smtc_serving_windows_total counter",
-            f"smtc_serving_windows_total {self.windows}",
+            f"smtc_serving_windows_total {windows}",
             "# HELP smtc_serving_dispatch_seconds per-window device "
             "dispatch latency",
             "# TYPE smtc_serving_dispatch_seconds histogram",
         ]
         cum = 0
-        for le, n in zip(self.LATENCY_BUCKETS, self.latency_counts):
+        for le, n in zip(self.LATENCY_BUCKETS, latency_counts):
             cum += n
             lines.append(
                 f'smtc_serving_dispatch_seconds_bucket{{le="{le}"}} {cum}')
-        cum += self.latency_counts[-1]
+        cum += latency_counts[-1]
         lines.append(f'smtc_serving_dispatch_seconds_bucket{{le="+Inf"}} '
                      f"{cum}")
         lines.append(f"smtc_serving_dispatch_seconds_sum "
-                     f"{self.dispatch_seconds:.6f}")
+                     f"{dispatch_seconds:.6f}")
         lines.append(f"smtc_serving_dispatch_seconds_count {cum}")
-        ident = str(meta.get("model", "")).replace('"', "")
         lines += [
             "# HELP smtc_serving_info model identity (value is always 1)",
             "# TYPE smtc_serving_info gauge",
-            f'smtc_serving_info{{model="{ident}",'
-            f'task="{meta.get("task", "")}"}} 1',
+            f'smtc_serving_info{{model="{self._escape_label(meta.get("model", ""))}",'
+            f'task="{self._escape_label(meta.get("task", ""))}"}} 1',
         ]
         return "\n".join(lines) + "\n"
+
+    def handler_started(self):
+        """Count an HTTP handler from the moment its request is being read
+        (before submit) until its response is written (after submit) — the
+        drain() window must cover both ends (ADVICE r3)."""
+        with self._inflight_lock:
+            self._inflight += 1
+
+    def handler_finished(self):
+        with self._inflight_lock:
+            self._inflight -= 1
 
     def submit(self, text, image, timeout: float = 600.0):
         if self._stop or not self._thread.is_alive():
@@ -480,14 +510,15 @@ class MicroBatcher:
             try:
                 results = self._predict([(t, im) for t, im, _ in pending])
                 dt = time.monotonic() - t0
-                self.windows += 1
-                self.requests += len(pending)
-                self.dispatch_seconds += dt
                 i = 0
                 while (i < len(self.LATENCY_BUCKETS)
                        and dt > self.LATENCY_BUCKETS[i]):
                     i += 1
-                self.latency_counts[i] += 1
+                with self._stats_lock:
+                    self.windows += 1
+                    self.requests += len(pending)
+                    self.dispatch_seconds += dt
+                    self.latency_counts[i] += 1
                 for (_, _, slot), res in zip(pending, results):
                     slot["result"] = res
                     slot["done"].set()
@@ -495,7 +526,8 @@ class MicroBatcher:
                 # a dead dispatcher would hang all future submits
                 logger.exception("serving dispatch failed for a window of "
                                  "%d requests", len(pending))
-                self.errors += len(pending)
+                with self._stats_lock:
+                    self.errors += len(pending)
                 for _, _, slot in pending:
                     slot["error"] = "internal prediction failure"
                     slot["done"].set()
@@ -616,6 +648,16 @@ def make_server(args, batcher: MicroBatcher, meta):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            # drain() must see this handler from request read to response
+            # write — not just the submit() span (a thread parsing JSON or
+            # writing its response was invisible to SIGTERM drain before)
+            batcher.handler_started()
+            try:
+                self._do_post()
+            finally:
+                batcher.handler_finished()
+
+        def _do_post(self):
             if self.path != "/classify":
                 self._send(404, {"error": "unknown path"})
                 return
@@ -689,9 +731,10 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        if batcher.drain(timeout=args.drain_timeout):
-            time.sleep(0.1)  # response writes right after submit() returns
-        else:
+        # drain covers the FULL handler span (handler_started/finished wraps
+        # do_POST), so when it returns every accepted request has its
+        # response written — no post-drain sleep needed
+        if not batcher.drain(timeout=args.drain_timeout):
             logger.warning("drain timeout (%.1fs): exiting with requests "
                            "still in flight", args.drain_timeout)
         batcher.close()

@@ -425,3 +425,74 @@ def test_native_decoder_service(tmp_path):
     with pytest.raises(Exception):
         serve._decode_image({"image_b64": b64mod.b64encode(b"junk").decode()},
                             None, meta["native_size"])
+
+
+def test_prometheus_label_escaping():
+    """ADVICE r3: backslash, double quote, and newline in label values must
+    be escaped per the text exposition format, not deleted."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    b = serve.MicroBatcher(lambda reqs: [{}] * len(reqs), 2, 1.0)
+    try:
+        body = b.prometheus_text({"model": 'we"ird\\mo\ndel', "task": 3})
+    finally:
+        b.close()
+    line = [l for l in body.splitlines()
+            if l.startswith("smtc_serving_info")][0]
+    expected = ('smtc_serving_info{model="we\\"ird\\\\mo\\ndel",'
+                'task="3"} 1')
+    assert line == expected
+    assert "\n" not in line  # the newline rode through escaped
+
+
+def test_drain_covers_full_handler_span():
+    """ADVICE r3: drain() must wait for handler threads still parsing the
+    request (pre-submit) or writing the response (post-submit), not only
+    for the submit() window."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    b = serve.MicroBatcher(lambda reqs: [{}] * len(reqs), 2, 1.0)
+    try:
+        assert b.drain(timeout=0.05)
+        b.handler_started()       # handler accepted, still pre-submit
+        assert not b.drain(timeout=0.1)
+        b.handler_finished()      # response written
+        assert b.drain(timeout=1.0)
+    finally:
+        b.close()
+
+
+def test_stats_and_scrape_are_lock_consistent(service):
+    """A scrape's histogram count must equal windows_total within the same
+    snapshot, even while traffic flows."""
+    import concurrent.futures as cf
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    done = threading.Event()
+    results = []
+
+    def traffic():
+        while not done.is_set():
+            _post(service["port"], {"text": "scrape race probe"})
+
+    with cf.ThreadPoolExecutor(2) as ex:
+        fut = ex.submit(traffic)
+        try:
+            for _ in range(10):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{service['port']}/metrics",
+                        timeout=30) as r:
+                    body = r.read().decode()
+                m = {}
+                for line in body.splitlines():
+                    if not line.startswith("#") and line.strip():
+                        k, v = line.rsplit(" ", 1)
+                        m[k] = float(v)
+                results.append(
+                    m["smtc_serving_dispatch_seconds_count"]
+                    == m["smtc_serving_windows_total"])
+        finally:
+            done.set()
+            fut.result(timeout=60)
+    assert all(results), results
