@@ -80,6 +80,26 @@ def step_cost_analysis(compiled) -> float:
         return 0.0
 
 
+def compile_timed(fn, *args):
+    """AOT-compile ``fn`` for ``args`` and return ``(callable, flops)``.
+
+    Guardrail (VERDICT r3 item 8): the SAME executable is used for the
+    timed loop and for the MFU flop numerator — the report can never
+    analyse a different program than the one it timed (a separate
+    post-timing ``lower().compile()`` could silently drift, e.g. pick up a
+    config change between timing and analysis). Falls back to the jitted
+    ``fn`` with flops 0 (MFU omitted from the report) if AOT lowering
+    fails on this backend.
+    """
+    try:
+        compiled = fn.lower(*args).compile()
+        return compiled, step_cost_analysis(compiled)
+    except Exception as e:
+        print(f"# AOT compile unavailable ({e}): timing the jit path, "
+              "MFU omitted", file=sys.stderr)
+        return fn, 0.0
+
+
 def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat16",
                  opt_impl: str = "lazy_emb", cache_vision: bool = False,
                  steps_per_dispatch: int = 1, prng_impl: str = "rbg",
@@ -178,6 +198,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
                                class_weights=jnp.ones(NUM_LABELS),
                                lazy_emb_cfg=lazy_cfg)
         stacked = {kk: jnp.stack([v] * k) for kk, v in batch.items()}
+        # compile FIRST, then time + cost-analyse the SAME executable
+        many, flops = compile_timed(many, params, opt_state, stacked, key, 0)
         params, opt_state, metrics = many(params, opt_state, stacked, key, 0)
         jax.block_until_ready(metrics["loss"])
 
@@ -191,7 +213,8 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         step = make_train_step(forward_fn, loss_cfg, tx,
                                class_weights=jnp.ones(NUM_LABELS),
                                lazy_emb_cfg=lazy_cfg)
-        # warmup / compile
+        step, flops = compile_timed(step, params, opt_state, batch, key)
+        # warmup
         params, opt_state, metrics = step(params, opt_state, batch, key)
         jax.block_until_ready(metrics["loss"])
 
@@ -217,19 +240,10 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
         print(f"# rep {r}: {steps / dt * bsz:.1f} posts/s", file=sys.stderr)
         best = max(best, steps / dt)
 
-    # model flops for the MFU line: XLA's count for one compiled dispatch
-    # (HloCostAnalysis counts a while/scan body once, so the K-step scan's
-    # count approximates ONE step + stacking overhead)
-    flops = 0.0
-    try:
-        if steps_per_dispatch > 1:
-            flops = step_cost_analysis(
-                many.lower(params, opt_state, stacked, key, 0).compile())
-        else:
-            flops = step_cost_analysis(
-                step.lower(params, opt_state, batch, key).compile())
-    except Exception as e:
-        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    # model flops for the MFU line came from compile_timed above — the
+    # SAME executable the reps ran (HloCostAnalysis counts a while/scan
+    # body once, so the K-step scan's count approximates ONE step +
+    # stacking overhead)
     return best, float(np.ravel(np.asarray(metrics["loss"]))[-1]), flops
 
 
@@ -319,6 +333,7 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
     steps = n_chunks * k
     stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
     key = jax.random.PRNGKey(0)
+    emany, flops = compile_timed(emany, params, stacked, key, 0)
     outs = emany(params, stacked, key, 0)
     jax.block_until_ready(outs["loss"])
     reps = max(3, 60 // max(steps, 1))
@@ -332,12 +347,7 @@ def measure_eval(steps: int = 20, batch: int = BATCH,
         print(f"# eval rep {r}: {steps / dt * batch:.1f} posts/s",
               file=sys.stderr)
         best = max(best, steps / dt)
-    flops = 0.0
-    try:
-        flops = step_cost_analysis(
-            emany.lower(params, stacked, key, 0).compile())
-    except Exception as e:
-        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    # flops from compile_timed — the same executable the reps ran
     return best, float(np.ravel(np.asarray(outs["loss"]))[-1]), flops
 
 
@@ -501,6 +511,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
         n_chunks = max(1, -(-steps // k))
         rep_steps = n_chunks * k
         stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+        emany, flops = compile_timed(emany, params, stacked, key, 0)
         outs = emany(params, stacked, key, 0)
         jax.block_until_ready(outs["loss"])
         best = 0.0
@@ -514,12 +525,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
             print(f"# {model_name} eval rep {r}: "
                   f"{rep_steps / dt * batch:.1f} posts/s", file=sys.stderr)
             best = max(best, rep_steps / dt)
-        flops = 0.0
-        try:
-            flops = step_cost_analysis(
-                emany.lower(params, stacked, key, 0).compile())
-        except Exception as e:
-            print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        # flops from compile_timed — the same executable the reps ran
         return best, float(np.ravel(np.asarray(outs["loss"]))[-1]), flops
     if model_name == "mmbt":
         from socialmedia_textimage_classification_auxlosses_tpu.train.optim import (
@@ -536,6 +542,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
     many = make_train_many(forward_fn, loss_cfg, tx,
                            class_weights=jnp.ones(NUM_LABELS))
     stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+    many, flops = compile_timed(many, params, opt_state, stacked, key, 0)
     params, opt_state, metrics = many(params, opt_state, stacked, key, 0)
     jax.block_until_ready(metrics["loss"])
     reps = max(3, 60 // k)
@@ -549,12 +556,7 @@ def measure_family(model_name: str, steps: int = 10, batch: int = BATCH,
         print(f"# {model_name} rep {r}: {k / dt * batch:.1f} posts/s",
               file=sys.stderr)
         best = max(best, k / dt)
-    flops = 0.0
-    try:
-        flops = step_cost_analysis(
-            many.lower(params, opt_state, stacked, key, 0).compile())
-    except Exception as e:
-        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    # flops from compile_timed — the same executable the reps ran
     return best, float(np.ravel(np.asarray(metrics["loss"]))[-1]), flops
 
 
@@ -822,12 +824,34 @@ def main():
             tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
 
     posts_per_sec = steps_per_sec * args.batch
+    # K-sweep (VERDICT r3 item 8): re-measure the flagship at K=10/50/100
+    # steps-per-dispatch so every BENCH round records how much of the
+    # headline is dispatch/tunnel latency vs device compute. Opt out with
+    # SMTC_BENCH_KSWEEP=0 (e.g. on a badly contended chip).
+    k_sweep = {str(args.steps_per_dispatch): round(posts_per_sec, 1)}
+    if os.environ.get("SMTC_BENCH_KSWEEP", "1") == "1":
+        for kk in (10, 50, 100):
+            if str(kk) in k_sweep:
+                continue
+            try:
+                sps_k, _, _ = measure_ours(
+                    args.steps, attn_impl=args.attn_impl,
+                    opt_impl=args.opt_impl, cache_vision=args.cache_vision,
+                    steps_per_dispatch=kk, prng_impl=args.prng_impl,
+                    batch=args.batch, opt_moments=args.opt_moments,
+                    opt_kernel=args.opt_kernel,
+                    tim_reuse=args.tim_reuse_text,
+                    scan_layers=args.scan_layers)
+                k_sweep[str(kk)] = round(sps_k * args.batch, 1)
+            except Exception as e:
+                print(f"# K={kk} sweep point failed: {e}", file=sys.stderr)
     # 2 text passes (primary + TIM) over seq-128 tokens per post feed the
     # tokens/s line; MFU = XLA-counted step flops x steps/s over bf16 peak
     report(f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, "
            f"batch {args.batch})", steps_per_sec, flops,
            vs_baseline=round(posts_per_sec / baseline["posts_per_sec"], 2),
-           tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1))
+           tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1),
+           k_sweep_posts_per_sec=k_sweep)
 
 
 if __name__ == "__main__":

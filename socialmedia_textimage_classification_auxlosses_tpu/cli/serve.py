@@ -142,22 +142,95 @@ def parse_args(argv=None):
                              "to finish before the process exits (rolling "
                              "restarts: stop accepting, answer what's "
                              "queued, then die)")
+    parser.add_argument("--extra_model", action="append", default=[],
+                        metavar="NAME:KEY=VALUE[,KEY=VALUE...]",
+                        help="serve an ADDITIONAL model from this process at "
+                             "POST /classify/NAME, e.g. --extra_model "
+                             "early:model=vilt,arch=base. KEY=VALUE pairs "
+                             "override the primary flags for that model "
+                             "(model/task/txt_model_name/arch/seed/"
+                             "model_path/...). Repeatable. lxmert entries "
+                             "SHARE one FRCNN detector per (arch, ckpt); "
+                             "each model gets its own micro-batcher, and "
+                             "/healthz + /metrics report per-model")
     return parser.parse_args(argv)
 
 
-def _make_detector(args):
+# --extra_model keys a spec may override (everything that shapes the model,
+# its artifact lookup, or its batching — NOT the shared server plumbing
+# like host/port/image_root/drain_timeout)
+_SPEC_KEYS = frozenset({
+    "model", "task", "txt_model_name", "img_model_name", "fusion_name",
+    "arch", "seed", "model_path", "use_clip_loss", "use_tim_loss",
+    "beta_itc", "beta_itm", "dropout", "dtype", "attn_impl", "scan_layers",
+    "quantize", "max_batch", "batch_window_ms", "random_init", "testing",
+    "image_size", "frcnn_arch", "frcnn_ckpt", "fast_start", "nsamples",
+})
+
+
+def parse_model_spec(base_args, spec: str):
+    """``NAME:KEY=VALUE,...`` -> (name, args-namespace for that model).
+
+    Values are coerced to the primary flag's type (bools accept 0/1/true/
+    false); unknown keys are rejected loudly rather than silently serving
+    the wrong artifact."""
+    import copy
+
+    name, _, body = spec.partition(":")
+    name = name.strip()
+    if not name or "/" in name:
+        raise SystemExit(f"--extra_model {spec!r}: NAME missing or invalid "
+                         "(route segment, no '/')")
+    args = copy.deepcopy(base_args)
+    args.extra_model = []
+    for pair in filter(None, (p.strip() for p in body.split(","))):
+        key, eq, raw = pair.partition("=")
+        if not eq or key not in _SPEC_KEYS:
+            raise SystemExit(
+                f"--extra_model {spec!r}: bad override {pair!r} "
+                f"(allowed keys: {', '.join(sorted(_SPEC_KEYS))})")
+        cur = getattr(args, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:  # str or None-default flags
+            val = raw
+        setattr(args, key, val)
+    return name, args
+
+
+def _make_detector(args, cache: dict = None):
     """FRCNN detector for --model lxmert serving (fused single-dispatch
     path, models/frcnn.py) — the full raw-image -> ROI -> classify flow the
-    reference needs an external torch stack for."""
+    reference needs an external torch stack for.
+
+    ``cache`` (multi-model serving) shares ONE detector — weights, compiled
+    programs and all — across every lxmert entry with the same
+    (arch, ckpt, init): the detector dominates serving memory, and its
+    dispatches are thread-safe across the per-model batcher threads."""
     from ..models import frcnn as FR
+
+    key = (args.frcnn_arch, args.frcnn_ckpt, args.random_init)
+    if cache is not None and key in cache:
+        logger.info("sharing the %s FRCNN detector across models",
+                    args.frcnn_arch)
+        return cache[key]
+
+    def _store(det):
+        if cache is not None:
+            cache[key] = det
+        return det
 
     cfg = FR.TINY if args.frcnn_arch == "tiny" else FR.FrcnnConfig()
     weight_path = args.frcnn_ckpt or C.MODEL_DIR_DICT.get("frcnn", "")
     if args.random_init:
         # smoke mode: random classifier implies a random detector is fine
-        return FR.FrcnnDetector(cfg)
+        return _store(FR.FrcnnDetector(cfg))
     try:
-        return FR.load_frcnn(weight_path, cfg)
+        return _store(FR.load_frcnn(weight_path, cfg))
     except Exception as e:
         # a production endpoint must not silently serve noise ROI features:
         # the classifier weights are strictly validated (load_params), the
@@ -189,12 +262,13 @@ def _serving_roi_cache(detector, cfg):
     return cache
 
 
-def build_service(args):
+def build_service(args, detector_cache: dict = None):
     """Model + single fixed-shape jitted predict + request preprocessing.
 
     Returns ``(predict_batch, meta)`` where ``predict_batch(requests) ->
     list of response dicts`` runs ONE device dispatch for up to
-    ``max_batch`` requests."""
+    ``max_batch`` requests. ``detector_cache`` shares FRCNN detectors
+    across multi-model services (see ``_make_detector``)."""
     import jax
     import jax.numpy as jnp
 
@@ -222,7 +296,7 @@ def build_service(args):
                                model_name="vilt" if family == "vilt" else None)
         roi_cache = None
         if family == "lxmert":
-            detector = _make_detector(args)
+            detector = _make_detector(args, detector_cache)
             roi_cache = _serving_roi_cache(detector, cfg)
         setup = build_mm_early_setup(args, cfg, roi_cache=roi_cache)
         image_size = (None if family == "lxmert"
@@ -395,51 +469,18 @@ class MicroBatcher:
                 "mean_batch": round(req / d, 2),
                 "mean_dispatch_ms": round(disp / d * 1e3, 2)}
 
-    @staticmethod
-    def _escape_label(value) -> str:
-        """Prometheus text-exposition label escaping: backslash, double
-        quote, and newline must be escaped or the scrape is unparsable."""
-        return (str(value).replace("\\", r"\\").replace('"', r"\"")
-                .replace("\n", r"\n"))
+    def snapshot(self) -> dict:
+        """One lock-consistent copy of every counter (sum/count/windows
+        agree within a scrape)."""
+        with self._stats_lock:
+            return {"requests": self.requests, "errors": self.errors,
+                    "windows": self.windows,
+                    "dispatch_seconds": self.dispatch_seconds,
+                    "latency_counts": list(self.latency_counts)}
 
     def prometheus_text(self, meta: dict) -> str:
         """Prometheus text exposition (0.0.4) of the serving counters."""
-        with self._stats_lock:  # one consistent scrape snapshot
-            requests, errors, windows = self.requests, self.errors, self.windows
-            dispatch_seconds = self.dispatch_seconds
-            latency_counts = list(self.latency_counts)
-        lines = [
-            "# HELP smtc_serving_requests_total classify requests served",
-            "# TYPE smtc_serving_requests_total counter",
-            f"smtc_serving_requests_total {requests}",
-            "# HELP smtc_serving_errors_total requests failed in dispatch",
-            "# TYPE smtc_serving_errors_total counter",
-            f"smtc_serving_errors_total {errors}",
-            "# HELP smtc_serving_windows_total device dispatch windows",
-            "# TYPE smtc_serving_windows_total counter",
-            f"smtc_serving_windows_total {windows}",
-            "# HELP smtc_serving_dispatch_seconds per-window device "
-            "dispatch latency",
-            "# TYPE smtc_serving_dispatch_seconds histogram",
-        ]
-        cum = 0
-        for le, n in zip(self.LATENCY_BUCKETS, latency_counts):
-            cum += n
-            lines.append(
-                f'smtc_serving_dispatch_seconds_bucket{{le="{le}"}} {cum}')
-        cum += latency_counts[-1]
-        lines.append(f'smtc_serving_dispatch_seconds_bucket{{le="+Inf"}} '
-                     f"{cum}")
-        lines.append(f"smtc_serving_dispatch_seconds_sum "
-                     f"{dispatch_seconds:.6f}")
-        lines.append(f"smtc_serving_dispatch_seconds_count {cum}")
-        lines += [
-            "# HELP smtc_serving_info model identity (value is always 1)",
-            "# TYPE smtc_serving_info gauge",
-            f'smtc_serving_info{{model="{self._escape_label(meta.get("model", ""))}",'
-            f'task="{self._escape_label(meta.get("task", ""))}"}} 1',
-        ]
-        return "\n".join(lines) + "\n"
+        return prometheus_text([(None, self, meta)])
 
     def handler_started(self):
         """Count an HTTP handler from the moment its request is being read
@@ -535,6 +576,71 @@ class MicroBatcher:
                     raise
 
 
+def _escape_label(value) -> str:
+    """Prometheus text-exposition label escaping: backslash, double quote,
+    and newline must be escaped or the scrape is unparsable."""
+    return (str(value).replace("\\", r"\\").replace('"', r"\"")
+            .replace("\n", r"\n"))
+
+
+def prometheus_text(services) -> str:
+    """Prometheus text exposition (0.0.4) over one or more services.
+
+    ``services``: list of ``(name, batcher, meta)``. Single-model serving
+    passes ``name=None`` and the series stay unlabeled (the original
+    exposition); multi-model serving labels every series with
+    ``model="name"`` so one scrape covers the whole process."""
+
+    def lbl(name, extra=""):
+        parts = ([f'model="{_escape_label(name)}"'] if name is not None
+                 else [])
+        if extra:
+            parts.append(extra)
+        return "{" + ",".join(parts) + "}" if parts else ""
+
+    snaps = [(name, b.snapshot(), meta) for name, b, meta in services]
+    lines = ["# HELP smtc_serving_requests_total classify requests served",
+             "# TYPE smtc_serving_requests_total counter"]
+    lines += [f"smtc_serving_requests_total{lbl(n)} {s['requests']}"
+              for n, s, _ in snaps]
+    lines += ["# HELP smtc_serving_errors_total requests failed in dispatch",
+              "# TYPE smtc_serving_errors_total counter"]
+    lines += [f"smtc_serving_errors_total{lbl(n)} {s['errors']}"
+              for n, s, _ in snaps]
+    lines += ["# HELP smtc_serving_windows_total device dispatch windows",
+              "# TYPE smtc_serving_windows_total counter"]
+    lines += [f"smtc_serving_windows_total{lbl(n)} {s['windows']}"
+              for n, s, _ in snaps]
+    lines += ["# HELP smtc_serving_dispatch_seconds per-window device "
+              "dispatch latency",
+              "# TYPE smtc_serving_dispatch_seconds histogram"]
+    for n, s, _ in snaps:
+        cum = 0
+        for le, cnt in zip(MicroBatcher.LATENCY_BUCKETS,
+                           s["latency_counts"]):
+            cum += cnt
+            lines.append(f"smtc_serving_dispatch_seconds_bucket"
+                         f"{lbl(n, f'le=\"{le}\"')} {cum}")
+        cum += s["latency_counts"][-1]
+        lines.append(f"smtc_serving_dispatch_seconds_bucket"
+                     f"{lbl(n, 'le=\"+Inf\"')} {cum}")
+        lines.append(f"smtc_serving_dispatch_seconds_sum{lbl(n)} "
+                     f"{s['dispatch_seconds']:.6f}")
+        lines.append(f"smtc_serving_dispatch_seconds_count{lbl(n)} {cum}")
+    lines += ["# HELP smtc_serving_info model identity (value is always 1)",
+              "# TYPE smtc_serving_info gauge"]
+    for n, _, meta in snaps:
+        labels = []
+        if n is not None:  # route name + the artifact identity it serves
+            labels.append(f'model="{_escape_label(n)}"')
+            labels.append(f'artifact="{_escape_label(meta.get("model", ""))}"')
+        else:
+            labels.append(f'model="{_escape_label(meta.get("model", ""))}"')
+        labels.append(f'task="{_escape_label(meta.get("task", ""))}"')
+        lines.append(f'smtc_serving_info{{{",".join(labels)}}} 1')
+    return "\n".join(lines) + "\n"
+
+
 def _decode_image(payload, image_root=None, native_size=None):
     """-> PIL Image, or a pre-resized (s, s, 3) uint8 array when the
     native decoder handled the request (``--img_decoder native``)."""
@@ -620,8 +726,23 @@ def warm_service(args, predict_batch):
                 args.max_batch, time.time() - t0)
 
 
-def make_server(args, batcher: MicroBatcher, meta):
+def make_server(args, batcher: MicroBatcher, meta, extra_services=None):
+    """HTTP server over one primary service plus optional named extras.
+
+    ``extra_services``: dict name -> (batcher, meta) from --extra_model.
+    The primary stays at POST /classify (and is named "default" in the
+    multi-model /metrics labels); extras route at POST /classify/<name>.
+    With no extras the /healthz and /metrics payloads are byte-identical
+    to single-model serving."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    extra_services = extra_services or {}
+
+    def scrape_entries():
+        if not extra_services:
+            return [(None, batcher, meta)]
+        return ([("default", batcher, meta)]
+                + [(n, b, m) for n, (b, m) in extra_services.items()])
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -634,10 +755,14 @@ def make_server(args, batcher: MicroBatcher, meta):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok", **meta,
-                                 **batcher.stats()})
+                health = {"status": "ok", **meta, **batcher.stats()}
+                if extra_services:
+                    health["models"] = {
+                        n: {**m, **b.stats()}
+                        for n, (b, m) in extra_services.items()}
+                self._send(200, health)
             elif self.path == "/metrics":
-                body = batcher.prometheus_text(meta).encode()
+                body = prometheus_text(scrape_entries()).encode()
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "text/plain; version=0.0.4")
@@ -647,31 +772,40 @@ def make_server(args, batcher: MicroBatcher, meta):
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _route(self):
+            if self.path == "/classify":
+                return batcher, meta
+            name = self.path.removeprefix("/classify/")
+            if name != self.path and name in extra_services:
+                return extra_services[name]
+            return None, None
+
         def do_POST(self):
+            b, m = self._route()
+            if b is None:
+                self._send(404, {"error": "unknown path"})
+                return
             # drain() must see this handler from request read to response
             # write — not just the submit() span (a thread parsing JSON or
             # writing its response was invisible to SIGTERM drain before)
-            batcher.handler_started()
+            b.handler_started()
             try:
-                self._do_post()
+                self._do_post(b, m)
             finally:
-                batcher.handler_finished()
+                b.handler_finished()
 
-        def _do_post(self):
-            if self.path != "/classify":
-                self._send(404, {"error": "unknown path"})
-                return
+        def _do_post(self, b, m):
             try:  # malformed request (bad JSON / image bytes) -> 400
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 text = payload.get("text", "")
                 image = _decode_image(payload, args.image_root,
-                                      meta.get("native_size"))
+                                      m.get("native_size"))
             except Exception as e:
                 self._send(400, {"error": repr(e)})
                 return
             try:  # server-side prediction failure -> 500, details in logs
-                self._send(200, batcher.submit(text, image))
+                self._send(200, b.submit(text, image))
             except Exception:
                 self._send(500, {"error": "internal prediction failure"})
 
@@ -716,15 +850,30 @@ def main(argv=None):
     except ValueError:  # signal only works on the main thread (test drivers)
         logger.warning("not on the main thread: SIGTERM drain disabled")
 
-    predict_batch, meta = build_service(args)
+    detector_cache = {}
+    predict_batch, meta = build_service(args, detector_cache)
     warm_service(args, predict_batch)
     batcher = MicroBatcher(predict_batch, args.max_batch,
                            args.batch_window_ms)
-    server = make_server(args, batcher, meta)
+    extra_services = {}
+    for spec in args.extra_model:
+        name, margs = parse_model_spec(args, spec)
+        if name in extra_services:
+            raise SystemExit(f"--extra_model: duplicate name {name!r}")
+        logger.info("building extra model %r (%s)", name, spec)
+        predict_m, meta_m = build_service(margs, detector_cache)
+        warm_service(margs, predict_m)
+        extra_services[name] = (MicroBatcher(predict_m, margs.max_batch,
+                                             margs.batch_window_ms), meta_m)
+    server = make_server(args, batcher, meta, extra_services)
     state["server"] = server
-    logger.info("serving %s on %s:%d (max_batch=%d, window=%.1fms)",
-                meta["model"], args.host, server.server_address[1],
+    logger.info("serving %s%s on %s:%d (max_batch=%d, window=%.1fms)",
+                meta["model"],
+                (" + " + ", ".join(f"/classify/{n}" for n in extra_services)
+                 if extra_services else ""),
+                args.host, server.server_address[1],
                 args.max_batch, args.batch_window_ms)
+    all_batchers = [batcher] + [b for b, _ in extra_services.values()]
     try:
         if not state["stopping"]:
             server.serve_forever()
@@ -734,10 +883,15 @@ def main(argv=None):
         # drain covers the FULL handler span (handler_started/finished wraps
         # do_POST), so when it returns every accepted request has its
         # response written — no post-drain sleep needed
-        if not batcher.drain(timeout=args.drain_timeout):
-            logger.warning("drain timeout (%.1fs): exiting with requests "
-                           "still in flight", args.drain_timeout)
-        batcher.close()
+        deadline = time.monotonic() + args.drain_timeout
+        for b in all_batchers:
+            if not b.drain(timeout=max(0.0, deadline - time.monotonic())):
+                logger.warning("drain timeout (%.1fs): exiting with "
+                               "requests still in flight",
+                               args.drain_timeout)
+                break
+        for b in all_batchers:
+            b.close()
         server.server_close()
 
 

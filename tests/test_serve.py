@@ -9,6 +9,7 @@ import json
 import os
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -352,8 +353,8 @@ def test_warm_service_covers_all_detector_shapes(monkeypatch):
     made = {}
     orig = serve._make_detector
 
-    def spy(a):
-        made["det"] = orig(a)
+    def spy(a, cache=None):
+        made["det"] = orig(a, cache)
         return made["det"]
 
     monkeypatch.setattr(serve, "_make_detector", spy)
@@ -496,3 +497,118 @@ def test_stats_and_scrape_are_lock_consistent(service):
             done.set()
             fut.result(timeout=60)
     assert all(results), results
+
+
+def test_parse_model_spec():
+    """--extra_model NAME:KEY=VALUE,... parsing: type coercion to the
+    primary flag's type, loud rejection of unknown keys / bad names."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    base = serve.parse_args(["--task", "3", "--arch", "tiny"])
+    name, margs = serve.parse_model_spec(
+        base, "early:model=vilt,max_batch=4,batch_window_ms=20,"
+              "random_init=true,seed=7")
+    assert name == "early"
+    assert margs.model == "vilt" and margs.max_batch == 4
+    assert margs.batch_window_ms == 20.0 and margs.random_init is True
+    assert margs.seed == 7
+    # the base namespace is untouched
+    assert base.model == "mm_late" and base.max_batch == 16
+    # the spec's namespace never recurses into more extra models
+    assert margs.extra_model == []
+
+    with pytest.raises(SystemExit):
+        serve.parse_model_spec(base, "x:no_such_flag=1")
+    with pytest.raises(SystemExit):
+        serve.parse_model_spec(base, ":model=vilt")  # empty name
+    with pytest.raises(SystemExit):
+        serve.parse_model_spec(base, "a/b:model=vilt")  # route-unsafe
+    with pytest.raises(SystemExit):
+        serve.parse_model_spec(base, "x:port=1")  # server plumbing key
+
+
+def test_multi_model_endpoint():
+    """One process, several models: /classify stays the primary,
+    /classify/<name> routes extras, /healthz reports per-model stats, and
+    /metrics labels every series by model while staying scrape-consistent."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--txt_model_name", "bert", "--img_model_name",
+        "vit", "--fusion_name", "attention", "--arch", "tiny",
+        "--max_batch", "2", "--batch_window_ms", "20", "--random_init",
+        "--extra_model", "alt:fusion_name=concat,seed=31",
+    ])
+    predict, meta = serve.build_service(args)
+    batcher = serve.MicroBatcher(predict, 2, 20.0)
+    name, margs = serve.parse_model_spec(args, args.extra_model[0])
+    predict2, meta2 = serve.build_service(margs)
+    extra = {name: (serve.MicroBatcher(predict2, 2, 20.0), meta2)}
+    args.port = 0
+    server = serve.make_server(args, batcher, meta, extra)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        r1 = _post(port, {"text": "route to the primary"})
+        assert len(r1["probs"]) == 3
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify/alt",
+            data=json.dumps({"text": "route to the primary"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            r2 = json.loads(r.read())
+        # different fusion + seed -> different distribution for same text
+        assert not np.allclose(r1["probs"], r2["probs"])
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify/nope",
+            data=b"{}", headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 404
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["models"]["alt"]["requests"] == 1
+        assert health["requests"] == 1  # primary's counters stay top-level
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            body = r.read().decode()
+        assert ('smtc_serving_requests_total{model="default"} 1' in body)
+        assert ('smtc_serving_requests_total{model="alt"} 1' in body)
+        assert ('smtc_serving_info{model="alt",'
+                'artifact="bert-vit-concat",task="3"} 1') in body
+        # HELP/TYPE headers appear once per metric, not per model
+        assert body.count("# TYPE smtc_serving_requests_total") == 1
+    finally:
+        server.shutdown()
+        batcher.close()
+        extra["alt"][0].close()
+        server.server_close()
+
+
+def test_shared_detector_across_models():
+    """Two lxmert services with the same (frcnn_arch, ckpt, init) share ONE
+    detector through the multi-model detector cache."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--model", "lxmert", "--arch", "tiny",
+        "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init",
+    ])
+    cache = {}
+    p1, _ = serve.build_service(args, detector_cache=cache)
+    assert len(cache) == 1
+    _, margs = serve.parse_model_spec(args, "second:seed=31")
+    p2, _ = serve.build_service(margs, detector_cache=cache)
+    assert len(cache) == 1  # second build reused the first detector
+    from PIL import Image
+    img = Image.fromarray(
+        np.random.RandomState(2).randint(0, 255, (64, 80, 3), np.uint8))
+    out1 = p1([("shared detector", img)])
+    out2 = p2([("shared detector", img)])
+    assert len(out1[0]["probs"]) == 3 and len(out2[0]["probs"]) == 3
