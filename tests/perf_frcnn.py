@@ -35,6 +35,14 @@ def main():
                          "real JPEG decodes: serial (decode -> detect -> "
                          "fetch) vs double-buffered (decode chunk k+1 while "
                          "the chip works on chunk k — detect_batch_async)")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="conv-trunk dtype (bfloat16 = the --frcnn_dtype "
+                         "throughput option; f32 is the parity default)")
+    ap.add_argument("--h2d", action="store_true",
+                    help="also time the raw host->device canvas transfer "
+                         "(how much of warm ms/image is input bytes on the "
+                         "tunneled link)")
     args = ap.parse_args()
 
     import numpy as np
@@ -50,7 +58,35 @@ def main():
     rng = np.random.RandomState(0)
     imgs = [rng.randint(0, 255, (h, w, 3), np.uint8)
             for _ in range(args.batch)]
-    det = FR.FrcnnDetector(FR.FrcnnConfig())
+    import dataclasses
+
+    cfg = FR.FrcnnConfig()
+    if args.dtype != cfg.dtype:
+        cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    det = FR.FrcnnDetector(cfg)
+
+    if args.h2d:
+        import jax
+        import jax.numpy as jnp
+
+        canvas, size_hw, _ = FR.preprocess_image(imgs[0], det.cfg)
+        canv = np.zeros((args.batch,) + canvas.shape, np.uint8)
+        canv[:] = canvas
+        mb = canv.nbytes / 2 ** 20
+        # fetch-sync (block_until_ready does not sync through the tunnel)
+        np.asarray(jax.device_put(canv)[0, 0, 0])
+        best = float("inf")
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            dev = jax.device_put(canv)
+            np.asarray(dev[0, 0, 0])  # forces the transfer to complete
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            print(f"# h2d rep {r}: {dt * 1e3:.0f} ms for {mb:.1f} MB "
+                  f"({dt / args.batch * 1e3:.0f} ms/image)", file=sys.stderr)
+        print(f"h2d canvas transfer: {best * 1e3:.0f} ms for {mb:.1f} MB "
+              f"batch {args.batch} ({best / args.batch * 1e3:.0f} ms/image, "
+              f"{mb / best:.0f} MB/s)")
 
     for fused in ([True, False] if args.staged else [True]):
         label = "fused" if fused else "staged"
