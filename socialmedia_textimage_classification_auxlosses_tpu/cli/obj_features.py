@@ -117,7 +117,7 @@ def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
 
 def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
                            weight_path: str = None, tiny: bool = False,
-                           dtype: str = "float32"):
+                           dtype: str = "float32", ingest: str = "pil"):
     """Native detector path: raw images -> (N, 36, 2048) ROI features +
     (N, 36, 4) normalized boxes (reference preprocess_obj,
     obj_features.py:142-173), resumable at the cache level.
@@ -192,7 +192,8 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
         imgs, ok = _decode_chunk(start)
         try:
             fetch = det.detect_batch_async(
-                [im for im in imgs if im is not None], pad_to=B)
+                [im for im in imgs if im is not None], pad_to=B,
+                ingest=ingest)
         except Exception:
             logger.info("failed batch at %d", start)
             fetch = None
@@ -252,6 +253,14 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = bf16 conv trunk (throughput "
                              "option; f32 is the torch-twin parity default)")
+    parser.add_argument("--frcnn_ingest", type=str, default="pil",
+                        choices=["pil", "device"],
+                        help="device = ship ORIGINAL uint8 pixels and "
+                             "resize on device (torch-bilinear semantics, "
+                             "~3x fewer bytes over a tunneled link; "
+                             "tests/test_frcnn_ingest.py quantifies the "
+                             "delta). pil = the reference's uint8/PIL "
+                             "resize branch (parity default)")
     parser.add_argument("--img_decoder", type=str, default="pil",
                         choices=["pil", "native"],
                         help="image ingest for the mm/vilt cache builds "
@@ -307,7 +316,8 @@ def main(argv=None):
             extract_frcnn_features(ids, img_fmt, cache,
                                    weight_path=args.frcnn_ckpt,
                                    tiny=args.frcnn_arch == "tiny",
-                                   dtype=args.frcnn_dtype)
+                                   dtype=args.frcnn_dtype,
+                                   ingest=args.frcnn_ingest)
     else:
         size = args.image_size or (384 if args.mode == "vilt" else 224)
         tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"

@@ -262,13 +262,15 @@ def _serving_roi_cache(detector, cfg):
     return cache
 
 
-def build_service(args, detector_cache: dict = None):
+def build_service(args, detector_cache: dict = None, export_info: dict = None):
     """Model + single fixed-shape jitted predict + request preprocessing.
 
     Returns ``(predict_batch, meta)`` where ``predict_batch(requests) ->
     list of response dicts`` runs ONE device dispatch for up to
     ``max_batch`` requests. ``detector_cache`` shares FRCNN detectors
-    across multi-model services (see ``_make_detector``)."""
+    across multi-model services (see ``_make_detector``). ``export_info``
+    (a dict, filled in place) receives the raw jitted predict + params +
+    batch builder for ``cli/export.py``."""
     import jax
     import jax.numpy as jnp
 
@@ -346,9 +348,10 @@ def build_service(args, detector_cache: dict = None):
             return jax.nn.sigmoid(logits)
         return jax.nn.softmax(logits, axis=-1)
 
-    def predict_batch(requests):
-        """requests: list of (text, image-or-None); one device dispatch
-        (plus, for lxmert, the detector's own dispatches)."""
+    def make_batch(requests):
+        """requests -> the fixed-shape device batch dict (text tokenized,
+        images resized / detector-featurized, rows past len(requests)
+        padded with the reference's placeholder/empty-image flow)."""
         n = len(requests)
         assert 0 < n <= b
         texts = [r[0] for r in requests]
@@ -389,7 +392,13 @@ def build_service(args, detector_cache: dict = None):
                     pixels[i] = resize_to_u8(img, image_size,
                                              center_crop_from=center_crop_from)
             batch["pixel_values"] = pixels
-        probs = np.asarray(_predict(params, batch))[:n]
+        return batch
+
+    def predict_batch(requests):
+        """requests: list of (text, image-or-None); one device dispatch
+        (plus, for lxmert, the detector's own dispatches)."""
+        n = len(requests)
+        probs = np.asarray(_predict(params, make_batch(requests)))[:n]
         classes = cfg.classes
         out = []
         for row in probs:
@@ -400,6 +409,13 @@ def build_service(args, detector_cache: dict = None):
                 "probs": [float(v) for v in row],
             })
         return out
+
+    if export_info is not None:
+        # cli/export.py: the pieces needed to jax.export the serving graph
+        # (fixed-shape jitted predict, resolved weights, batch builder)
+        export_info.update(predict=_predict, params=params,
+                           make_batch=make_batch, detector=detector,
+                           num_labels=cfg.num_labels, classes=cfg.classes)
 
     native_size = None
     if (getattr(args, "img_decoder", "pil") == "native"

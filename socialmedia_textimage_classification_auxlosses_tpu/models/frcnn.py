@@ -585,46 +585,124 @@ def roi_align(fmap, boxes, *, output_size: int, spatial_scale: float,
 # ---------------------------------------------------------------------------
 
 
-def preprocess_image(img, cfg: FrcnnConfig):
-    """RGB uint8 array -> (padded RAW uint8 RGB canvas (Hp, Wp, 3),
-    (resized_h, resized_w), scale_yx original/resized).
+def preprocess_geometry(h0: int, w0: int, cfg: FrcnnConfig):
+    """Resize geometry shared by every ingest path: -> (h1, w1, ph, pw).
 
-    Shortest side to ``min_size`` capped so the longest stays <= ``max_size``
-    (PIL bilinear), zero-pad to the static padded geometry (two orientations:
-    landscape / portrait — two jit specializations instead of per-image
-    shapes). BGR flip + pixel-mean subtraction happen ON DEVICE in
-    ``FrcnnStage1`` — the uint8 canvas crosses host->device 4x smaller than
-    fp32 and the normalization is bit-identical (PIL's resize output is
-    uint8-quantized either way). ``normalize_canvas`` reproduces the
-    normalized fp32 canvas host-side for parity harnesses."""
-    from PIL import Image
-
-    if isinstance(img, Image.Image):
-        arr = np.asarray(img.convert("RGB"))
-    else:
-        arr = np.asarray(img)
-    h0, w0 = arr.shape[:2]
+    Shortest side to ``min_size`` capped so the longest stays <=
+    ``max_size``; static canvas per orientation — (min,max) landscape /
+    (max,min) portrait, rounded up to the stride divisor: two jit
+    specializations of the detector total instead of one per image shape."""
     scale = cfg.min_size / min(h0, w0)
     if max(h0, w0) * scale > cfg.max_size:
         scale = cfg.max_size / max(h0, w0)
     h1 = max(int(round(h0 * scale)), 1)
     w1 = max(int(round(w0 * scale)), 1)
-    resized = np.asarray(
-        Image.fromarray(arr).resize((w1, h1), Image.BILINEAR), np.uint8)
     div = cfg.size_divisibility
 
     def rup(v):
         return ((v + div - 1) // div) * div
 
-    # static canvas per orientation — (min,max) landscape / (max,min)
-    # portrait, rounded up to the stride divisor: two jit specializations
-    # total instead of one per image shape
     ph = rup(cfg.min_size) if w1 >= h1 else rup(cfg.max_size)
     pw = rup(cfg.max_size) if w1 >= h1 else rup(cfg.min_size)
+    return h1, w1, ph, pw
+
+
+def _to_rgb_array(img) -> np.ndarray:
+    from PIL import Image
+
+    if isinstance(img, Image.Image):
+        return np.asarray(img.convert("RGB"))
+    return np.asarray(img)
+
+
+def preprocess_image(img, cfg: FrcnnConfig):
+    """RGB uint8 array -> (padded RAW uint8 RGB canvas (Hp, Wp, 3),
+    (resized_h, resized_w), scale_yx original/resized).
+
+    PIL-bilinear host resize — the PARITY path: the reference's detector
+    preprocessing (HF research-projects ``processing_image.ResizeShortestEdge``,
+    detectron2-style) takes the uint8 branch, which resizes via
+    ``PIL.Image.resize(BILINEAR)``. BGR flip + pixel-mean subtraction happen
+    ON DEVICE in ``FrcnnStage1`` — the uint8 canvas crosses host->device 4x
+    smaller than fp32 and the normalization is bit-identical (PIL's resize
+    output is uint8-quantized either way). ``normalize_canvas`` reproduces
+    the normalized fp32 canvas host-side for parity harnesses."""
+    from PIL import Image
+
+    arr = _to_rgb_array(img)
+    h0, w0 = arr.shape[:2]
+    h1, w1, ph, pw = preprocess_geometry(h0, w0, cfg)
+    resized = np.asarray(
+        Image.fromarray(arr).resize((w1, h1), Image.BILINEAR), np.uint8)
     out = np.zeros((ph, pw, 3), np.uint8)
     out[:h1, :w1] = resized
     scale_yx = np.asarray([h0 / h1, w0 / w1], np.float32)
     return out, (h1, w1), scale_yx
+
+
+def preprocess_image_original(img, cfg: FrcnnConfig, bucket: int = 64):
+    """Device-ingest host half: decode only, NO resize — returns
+    ``(bucket-padded original uint8 (bh, bw, 3), (h0, w0), (h1, w1),
+    (ph, pw), scale_yx)``; ``device_resize_canvas`` finishes on device.
+
+    Originals ship bucket-padded (dims rounded up to ``bucket``) so the
+    tiny ingest program compiles once per bucket shape, not per image.
+    Returns ``None`` when shipping the original would NOT save bytes over
+    the resized canvas (very large photos) — the caller falls back to the
+    PIL path for those images."""
+    arr = _to_rgb_array(img)
+    h0, w0 = arr.shape[:2]
+    h1, w1, ph, pw = preprocess_geometry(h0, w0, cfg)
+    bh = ((h0 + bucket - 1) // bucket) * bucket
+    bw = ((w0 + bucket - 1) // bucket) * bucket
+    if bh * bw >= ph * pw:
+        return None
+    out = np.zeros((bh, bw, 3), np.uint8)
+    out[:h0, :w0] = arr
+    scale_yx = np.asarray([h0 / h1, w0 / w1], np.float32)
+    return out, (h0, w0), (h1, w1), (ph, pw), scale_yx
+
+
+def _resize_matrix(n_out: int, n_in: int, true_out, true_in, dtype=jnp.float32):
+    """(n_out, n_in) dense bilinear interpolation matrix for torch
+    ``F.interpolate(mode="bilinear", align_corners=False)`` semantics, with
+    RUNTIME true sizes inside static padded dims: rows >= true_out and
+    columns >= true_in are zero. Source coords are clamped at 0 and the
+    high neighbour at true_in - 1, exactly torch's index rule."""
+    i = jnp.arange(n_out, dtype=dtype)
+    j = jnp.arange(n_in, dtype=dtype)
+    t_in = jnp.asarray(true_in, dtype)
+    t_out = jnp.asarray(true_out, dtype)
+    src = jnp.maximum((i + 0.5) * (t_in / t_out) - 0.5, 0.0)
+    lo = jnp.floor(src)
+    frac = src - lo
+    hi = jnp.minimum(lo + 1.0, t_in - 1.0)
+    k = ((j[None, :] == lo[:, None]) * (1.0 - frac[:, None])
+         + (j[None, :] == hi[:, None]) * frac[:, None])
+    row_ok = i < t_out
+    col_ok = j < t_in
+    return k * row_ok[:, None] * col_ok[None, :]
+
+
+def device_resize_canvas(orig_u8, hw0, hw1, ph: int, pw: int):
+    """On-device torch-bilinear resize of a bucket-padded uint8 original
+    into the detector's static fp32 canvas (resized image in the top-left,
+    zeros elsewhere). The separable kernel runs as two interpolation
+    matmuls on the MXU (the mm-ROIAlign factorisation); the matrices are
+    computed on device from the RUNTIME true sizes, so ONE compilation per
+    (bucket, canvas) shape serves every image in that bucket.
+
+    Semantics: the float branch of the reference transform family —
+    detectron2's ``ResizeTransform`` applies ``F.interpolate(bilinear,
+    align_corners=False)`` to float inputs (PIL to uint8 ones; that PIL
+    path is ``preprocess_image``). Parity vs torch is test-enforced
+    (tests/test_frcnn_ingest.py)."""
+    bh, bw = orig_u8.shape[0], orig_u8.shape[1]
+    ky = _resize_matrix(ph, bh, hw1[0], hw0[0])          # (ph, bh)
+    kx = _resize_matrix(pw, bw, hw1[1], hw0[1])          # (pw, bw)
+    img = orig_u8.astype(jnp.float32)
+    return jnp.einsum("ij,jkc,lk->ilc", ky, img, kx,
+                      preferred_element_type=jnp.float32)
 
 
 def normalize_canvas(canvas, size_hw, cfg: FrcnnConfig):
@@ -669,6 +747,13 @@ class FrcnnDetector:
             lambda f, i: f[jnp.arange(f.shape[0])[:, None], i])
         self._anchor_cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._fused = jax.jit(self._fused_detect)
+        # device-ingest helpers (detect_batch ingest="device"): tiny
+        # programs that keep original-resolution pixels on device — one
+        # specialization per bucket/canvas shape, all trivial compiles
+        self._ingest = jax.jit(device_resize_canvas, static_argnums=(3, 4))
+        self._lift = jax.jit(lambda c: c.astype(jnp.float32))
+        self._stack = jax.jit(lambda *cs: jnp.stack(cs))
+        self._zero_cache: Dict[Tuple[int, int], jax.Array] = {}
 
     def init_params(self, rng):
         cfg = self.cfg
@@ -830,6 +915,53 @@ class FrcnnDetector:
                 (idxs, self._fused(self.params, canv, jnp.asarray(sizes))))
         return n_imgs, pending
 
+    def _dispatch_fused_device(self, imgs, pad_to, n_imgs):
+        """Device-ingest dispatch: host DECODES only; original-resolution
+        uint8 pixels cross the link (typically ~3x fewer bytes than the
+        resized canvas — the dominant cost on a tunneled chip, BASELINE.md
+        h2d probe) and the torch-bilinear resize + canvas assembly run on
+        device. Images whose original is not smaller than the canvas fall
+        back to the PIL host path (fewer bytes either way)."""
+        cfg = self.cfg
+        pre = []
+        for im in imgs:
+            r = preprocess_image_original(im, cfg)
+            if r is None:
+                canvas, hw1, scale_yx = preprocess_image(im, cfg)
+                pre.append(("pil", canvas, hw1, scale_yx))
+            else:
+                pre.append(("dev",) + r)
+        groups: Dict[tuple, list] = {}
+        for i, entry in enumerate(pre):
+            shape = (entry[1].shape[:2] if entry[0] == "pil"
+                     else entry[4])                      # (ph, pw)
+            groups.setdefault(shape, []).append(i)
+        pending = []
+        for (ph, pw), idxs in groups.items():
+            bp = len(idxs) if pad_to is None else max(len(idxs), pad_to)
+            rows, sizes = [], np.ones((bp, 2), np.float32)
+            for j, i in enumerate(idxs):
+                e = pre[i]
+                if e[0] == "pil":
+                    rows.append(self._lift(e[1]))
+                    sizes[j] = e[2]
+                else:
+                    _, orig, hw0, hw1, _, _ = e
+                    rows.append(self._ingest(
+                        orig, np.asarray(hw0, np.int32),
+                        np.asarray(hw1, np.int32), ph, pw))
+                    sizes[j] = hw1
+            if len(rows) < bp:
+                zero = self._zero_cache.get((ph, pw))
+                if zero is None:
+                    zero = jnp.zeros((ph, pw, 3), jnp.float32)
+                    self._zero_cache[(ph, pw)] = zero
+                rows += [zero] * (bp - len(rows))
+            canv = self._stack(*rows)
+            pending.append(
+                (idxs, self._fused(self.params, canv, jnp.asarray(sizes))))
+        return n_imgs, pending
+
     @staticmethod
     def _finish_fused(handle) -> list:
         n_imgs, pending = handle
@@ -846,13 +978,17 @@ class FrcnnDetector:
                 }
         return results
 
-    def detect_batch_async(self, imgs, pad_to: Optional[int] = None):
+    def detect_batch_async(self, imgs, pad_to: Optional[int] = None,
+                           ingest: str = "pil"):
         """Fused ``detect_batch`` split at the device boundary: preprocess +
         dispatch now, defer the result fetch to the returned zero-arg
         callable. Per-image results are bit-identical to ``detect_batch``
         (same jitted program); the split only lets the caller overlap host
         work (image decode of the NEXT chunk) with device compute — the
         offline cacher's double-buffered build (cli/obj_features.py)."""
+        if ingest == "device":
+            handle = self._dispatch_fused_device(imgs, pad_to, len(imgs))
+            return lambda: self._finish_fused(handle)
         pre = [preprocess_image(im, self.cfg) for im in imgs]
         groups: Dict[tuple, list] = {}
         for i, (canvas, _, _) in enumerate(pre):
@@ -861,7 +997,7 @@ class FrcnnDetector:
         return lambda: self._finish_fused(handle)
 
     def detect_batch(self, imgs, pad_to: Optional[int] = None,
-                     fused: bool = True) -> list:
+                     fused: bool = True, ingest: str = "pil") -> list:
         """Batched inference over a list of raw images. Per-image results are
         identical to single-image ``detect`` — batching only amortizes
         dispatch/tunnel round-trips and fills the MXU at the offline cacher's
@@ -877,9 +1013,18 @@ class FrcnnDetector:
 
         ``pad_to`` zero-pads each orientation group to a fixed batch so the
         jitted stages compile at most twice (landscape/portrait) regardless
-        of the per-call orientation mix; padded rows are skipped host-side."""
+        of the per-call orientation mix; padded rows are skipped host-side.
+
+        ``ingest="device"`` (fused path only) ships ORIGINAL-resolution
+        uint8 pixels and resizes on device with torch-bilinear semantics
+        (``device_resize_canvas``) — a documented deviation from the PIL
+        parity default (the two resizes differ by PIL's uint8 rounding;
+        delta quantified in tests/test_frcnn_ingest.py), ~3x fewer bytes
+        over the host->device link."""
+        if ingest == "device" and not fused:
+            raise ValueError("ingest='device' requires the fused path")
         if fused:
-            return self.detect_batch_async(imgs, pad_to)()
+            return self.detect_batch_async(imgs, pad_to, ingest=ingest)()
         cfg = self.cfg
         n = cfg.rpn_post_nms_topk
         pre = [preprocess_image(im, cfg) for im in imgs]

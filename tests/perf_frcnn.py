@@ -39,6 +39,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="conv-trunk dtype (bfloat16 = the --frcnn_dtype "
                          "throughput option; f32 is the parity default)")
+    ap.add_argument("--ingest", type=str, default="pil",
+                    choices=["pil", "device"],
+                    help="device = ship originals, resize on device "
+                         "(~3x fewer host->device bytes)")
     ap.add_argument("--h2d", action="store_true",
                     help="also time the raw host->device canvas transfer "
                          "(how much of warm ms/image is input bytes on the "
@@ -91,13 +95,13 @@ def main():
     for fused in ([True, False] if args.staged else [True]):
         label = "fused" if fused else "staged"
         t0 = time.perf_counter()
-        out = det.detect_batch(imgs, fused=fused)
+        out = det.detect_batch(imgs, fused=fused, ingest=args.ingest)
         print(f"# {label}: cold (compile) {time.perf_counter() - t0:.1f} s",
               file=sys.stderr)
         best = float("inf")
         for r in range(args.reps):
             t0 = time.perf_counter()
-            out = det.detect_batch(imgs, fused=fused)
+            out = det.detect_batch(imgs, fused=fused, ingest=args.ingest)
             dt = time.perf_counter() - t0
             best = min(best, dt / args.batch)
             print(f"# {label} rep {r}: {dt / args.batch * 1e3:.0f} ms/image",
@@ -130,17 +134,20 @@ def main():
                     for b in chunk]
 
         n_img = args.pipeline * args.batch
-        det.detect_batch(decode(blobs[0]), pad_to=args.batch)  # warm
+        det.detect_batch(decode(blobs[0]), pad_to=args.batch,
+                         ingest=args.ingest)  # warm
         for r in range(args.reps):
             t0 = time.perf_counter()
             for chunk in blobs:
-                det.detect_batch(decode(chunk), pad_to=args.batch)
+                det.detect_batch(decode(chunk), pad_to=args.batch,
+                                 ingest=args.ingest)
             serial = (time.perf_counter() - t0) / n_img
             t0 = time.perf_counter()
             pending = None
             for chunk in blobs:
                 fetch = det.detect_batch_async(decode(chunk),
-                                               pad_to=args.batch)
+                                               pad_to=args.batch,
+                                               ingest=args.ingest)
                 if pending is not None:
                     pending()
                 pending = fetch
