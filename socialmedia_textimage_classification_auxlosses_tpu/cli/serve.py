@@ -70,6 +70,17 @@ def parse_args(argv=None):
                         help="(--model lxmert) detector geometry")
     parser.add_argument("--frcnn_ckpt", type=str, default=None,
                         help="(--model lxmert) detector checkpoint")
+    parser.add_argument("--frcnn_ingest", type=str, default="pil",
+                        choices=["pil", "device"],
+                        help="(--model lxmert) device = ship ORIGINAL "
+                             "uint8 request pixels and resize on device "
+                             "(torch-bilinear; ~3x fewer bytes to a "
+                             "tunneled chip). pil = the reference's "
+                             "uint8/PIL branch (parity default). NOTE: "
+                             "device mode compiles one tiny ingest program "
+                             "per new original-size bucket (64px grid) — "
+                             "a one-time latency spike per bucket, "
+                             "persistent-cached across restarts")
     parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--img_decoder", type=str, default="pil",
                         choices=["pil", "native"],
@@ -164,7 +175,8 @@ _SPEC_KEYS = frozenset({
     "arch", "seed", "model_path", "use_clip_loss", "use_tim_loss",
     "beta_itc", "beta_itm", "dropout", "dtype", "attn_impl", "scan_layers",
     "quantize", "max_batch", "batch_window_ms", "random_init", "testing",
-    "image_size", "frcnn_arch", "frcnn_ckpt", "fast_start", "nsamples",
+    "image_size", "frcnn_arch", "frcnn_ckpt", "frcnn_ingest", "fast_start",
+    "nsamples",
 })
 
 
@@ -372,8 +384,9 @@ def build_service(args, detector_cache: dict = None, export_info: dict = None):
                 # compiles at most log2(max_batch)+1 shapes per canvas
                 # orientation rather than one per window size
                 pad = 1 << (len(with_img) - 1).bit_length()
-                outs = detector.detect_batch([im for _, im in with_img],
-                                             pad_to=min(pad, b))
+                outs = detector.detect_batch(
+                    [im for _, im in with_img], pad_to=min(pad, b),
+                    ingest=getattr(args, "frcnn_ingest", "pil"))
                 for (i, _), out in zip(with_img, outs):
                     feats[i] = out["roi_features"]
                     boxes[i] = out["normalized_boxes"]

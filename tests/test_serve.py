@@ -232,6 +232,29 @@ def test_lxmert_service_runs_detector_per_request():
     assert not np.allclose(out[0]["probs"], out2[0]["probs"])
 
 
+def test_lxmert_service_device_ingest():
+    """--frcnn_ingest device routes request images through the on-device
+    resize; results must stay close to the PIL default (the quantified
+    resize-quantization delta, tests/test_frcnn_ingest.py)."""
+    from PIL import Image
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    base = ["--task", "3", "--model", "lxmert", "--arch", "tiny",
+            "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init"]
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+    cache = {}  # share ONE detector so only the ingest path differs
+    p_pil, _ = serve.build_service(serve.parse_args(base),
+                                   detector_cache=cache)
+    p_dev, _ = serve.build_service(
+        serve.parse_args(base + ["--frcnn_ingest", "device"]),
+        detector_cache=cache)
+    a = p_pil([("what objects are here", img)])[0]["probs"]
+    b = p_dev([("what objects are here", img)])[0]["probs"]
+    np.testing.assert_allclose(a, b, atol=0.05)
+
+
 def test_mmbt_service_direct():
     from PIL import Image
 
