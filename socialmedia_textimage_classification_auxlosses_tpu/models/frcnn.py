@@ -701,7 +701,10 @@ def device_resize_canvas(orig_u8, hw0, hw1, ph: int, pw: int):
     ky = _resize_matrix(ph, bh, hw1[0], hw0[0])          # (ph, bh)
     kx = _resize_matrix(pw, bw, hw1[1], hw0[1])          # (pw, bw)
     img = orig_u8.astype(jnp.float32)
+    # highest precision: TPU's default f32 dot rounds through bf16 passes,
+    # which would cost ~1 LSB of pixel accuracy on this tiny op
     return jnp.einsum("ij,jkc,lk->ilc", ky, img, kx,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
 
