@@ -805,18 +805,21 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=1)
 
+    attn_used = args.attn_impl
     try:
         steps_per_sec, loss, flops = measure_ours(
-            args.steps, attn_impl=args.attn_impl, opt_impl=args.opt_impl,
+            args.steps, attn_impl=attn_used, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
             opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
             tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
     except Exception:
-        # Pallas unavailable on this backend: fall back to the XLA path.
+        # Pallas unavailable on this backend: fall back to the XLA path
+        # (and remember the fallback so the K-sweep measures the SAME impl)
+        attn_used = "jnp"
         steps_per_sec, loss, flops = measure_ours(
-            args.steps, attn_impl="jnp", opt_impl=args.opt_impl,
+            args.steps, attn_impl=attn_used, opt_impl=args.opt_impl,
             cache_vision=args.cache_vision,
             steps_per_dispatch=args.steps_per_dispatch,
             prng_impl=args.prng_impl, batch=args.batch,
@@ -844,7 +847,7 @@ def main():
                 continue
             try:
                 sps_k, _, _ = measure_ours(
-                    args.steps, attn_impl=args.attn_impl,
+                    args.steps, attn_impl=attn_used,
                     opt_impl=args.opt_impl, cache_vision=args.cache_vision,
                     steps_per_dispatch=kk, prng_impl=args.prng_impl,
                     batch=args.batch, opt_moments=args.opt_moments,

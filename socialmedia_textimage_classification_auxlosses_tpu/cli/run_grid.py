@@ -120,35 +120,49 @@ class Run:
         use_itc, use_itm = AUX_SETTINGS[aux]
         self.argv = ["--task", str(task), "--seed", str(seed),
                      "--epochs", str(args.epochs)]
-        loss_str = ""
         if family in ("mm_late", "mm_early"):
             if use_itc:
                 self.argv += ["--use_clip_loss", "--beta_itc", str(args.beta_itc)]
-                loss_str += f"itc{args.beta_itc}"
             if use_itm:
                 self.argv += ["--use_tim_loss", "--beta_itm", str(args.beta_itm)]
-                loss_str += f"itm{args.beta_itm}"
         if family == "mm_late":
             txt, img, fusion = model.split("-", 2)
             self.argv += ["--txt_model_name", txt, "--img_model_name", img,
                           "--fusion_name", fusion]
-            # reference naming: {txt}-{img}-{fusion}_task{t}_seed{s}_{loss}_{N}
-            # (run_mm_late.py:91-96); nsamples segment empty at the default
-            base, stem = C.results_dir_mm_late, \
-                f"{model}_task{task}_seed{seed}_{loss_str}_"
         elif family == "mm_early":
             self.argv += ["--model", model]
-            base, stem = C.results_dir_mm_early, \
-                f"{model}_task{task}_seed{seed}_{loss_str}_"
         else:
             self.argv += ["--model_name", model]
-            base = C.results_dir_txt if family == "txt" else C.results_dir_img
-            stem = f"{model}_task{task}_seed{seed}_"
         self.argv += list(args.runner_args)
-        testing = "--testing" in self.argv
-        base += "testing/" if testing else ""
-        self.val_csv = base + stem + "metrics_val.csv"
-        self.test_csv = base + stem + "metrics_test.csv"
+        # Artifact locations come from the RUNNER's own parse of this argv
+        # plus the shared naming contract (_common.artifact_stem /
+        # core.config loss_str) — never a re-implementation, so extra
+        # runner flags that change names (--nsamples, --testing) and the
+        # mmbt results dir (run_mm_early.py results_dir_mmbt) can't drift
+        # from what the runner will actually write.
+        self.val_csv, self.test_csv = self._artifact_paths(family, model)
+
+    def _artifact_paths(self, family, model):
+        from . import run_img, run_mm_early, run_mm_late, run_txt
+        from ._common import artifact_stem
+
+        parser = {"txt": run_txt, "img": run_img, "mm_late": run_mm_late,
+                  "mm_early": run_mm_early}[family]
+        ns = parser.parse_args(self.argv)
+        if family in ("txt", "img"):
+            base = C.results_dir_txt if family == "txt" else C.results_dir_img
+            stem = f"{ns.model_name}_task{ns.task}_seed{ns.seed}_"
+        elif family == "mm_late":
+            cfg = C.serving_config(ns)
+            base = C.results_dir_mm_late
+            stem = artifact_stem(ns, cfg, "mm_late")
+        else:
+            cfg = C.serving_config(ns, model_name=model)
+            base = (C.results_dir_mmbt if model == "mmbt"
+                    else C.results_dir_mm_early)
+            stem = artifact_stem(ns, cfg, model)
+        base += "testing/" if getattr(ns, "testing", False) else ""
+        return base + stem + "metrics_val.csv", base + stem + "metrics_test.csv"
 
     @property
     def key(self):  # aggregation group: everything but the seed

@@ -58,6 +58,10 @@ logger = get_logger(__name__)
 
 
 def parse_args(argv=None):
+    return build_parser().parse_args(argv)
+
+
+def build_parser():
     parser = argparse.ArgumentParser(description="serve a trained model")
     parser.add_argument("--model", type=str, default="mm_late",
                         choices=["mm_late", "vilt", "lxmert", "mmbt"],
@@ -164,7 +168,7 @@ def parse_args(argv=None):
                              "SHARE one FRCNN detector per (arch, ckpt); "
                              "each model gets its own micro-batcher, and "
                              "/healthz + /metrics report per-model")
-    return parser.parse_args(argv)
+    return parser
 
 
 # --extra_model keys a spec may override (everything that shapes the model,
@@ -193,23 +197,38 @@ def parse_model_spec(base_args, spec: str):
     if not name or "/" in name:
         raise SystemExit(f"--extra_model {spec!r}: NAME missing or invalid "
                          "(route segment, no '/')")
+    if name == "default":
+        # the primary service owns the "default" label in multi-model
+        # /metrics and the top level of /healthz; a second "default" would
+        # emit duplicate Prometheus series (an invalid exposition)
+        raise SystemExit(f"--extra_model {spec!r}: the name 'default' is "
+                         "reserved for the primary /classify model")
     args = copy.deepcopy(base_args)
     args.extra_model = []
+    # coerce from the DECLARED flag types, not the runtime value: flags
+    # whose default is None (e.g. image_size) would otherwise come through
+    # as strings and crash the model build
+    actions = build_parser()._option_string_actions
     for pair in filter(None, (p.strip() for p in body.split(","))):
         key, eq, raw = pair.partition("=")
         if not eq or key not in _SPEC_KEYS:
             raise SystemExit(
                 f"--extra_model {spec!r}: bad override {pair!r} "
                 f"(allowed keys: {', '.join(sorted(_SPEC_KEYS))})")
-        cur = getattr(args, key)
-        if isinstance(cur, bool):
-            val = raw.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int):
-            val = int(raw)
-        elif isinstance(cur, float):
-            val = float(raw)
-        else:  # str or None-default flags
-            val = raw
+        action = actions["--" + key]
+        try:
+            if isinstance(getattr(args, key), bool) or (
+                    action.const is True and action.nargs == 0):
+                val = raw.lower() in ("1", "true", "yes")
+            elif action.type is not None:
+                val = action.type(raw)
+            else:
+                val = raw
+            if action.choices and val not in action.choices:
+                raise ValueError(f"choose from {sorted(action.choices)}")
+        except ValueError as e:
+            raise SystemExit(
+                f"--extra_model {spec!r}: bad value for {key}: {e}")
         setattr(args, key, val)
     return name, args
 
@@ -648,11 +667,15 @@ def prometheus_text(services) -> str:
         for le, cnt in zip(MicroBatcher.LATENCY_BUCKETS,
                            s["latency_counts"]):
             cum += cnt
+            # no backslash inside the f-string expression: that is a
+            # SyntaxError before Python 3.12 (PEP 701)
+            le_label = lbl(n, 'le="%s"' % le)
             lines.append(f"smtc_serving_dispatch_seconds_bucket"
-                         f"{lbl(n, f'le=\"{le}\"')} {cum}")
+                         f"{le_label} {cum}")
         cum += s["latency_counts"][-1]
+        inf_label = lbl(n, 'le="+Inf"')
         lines.append(f"smtc_serving_dispatch_seconds_bucket"
-                     f"{lbl(n, 'le=\"+Inf\"')} {cum}")
+                     f"{inf_label} {cum}")
         lines.append(f"smtc_serving_dispatch_seconds_sum{lbl(n)} "
                      f"{s['dispatch_seconds']:.6f}")
         lines.append(f"smtc_serving_dispatch_seconds_count{lbl(n)} {cum}")

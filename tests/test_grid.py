@@ -68,6 +68,30 @@ def test_build_plan_dedup_and_naming():
     assert r2.argv[r2.argv.index("--fusion_name") + 1] == "aspect-att"
 
 
+def test_artifact_paths_follow_runner_contract():
+    """The grid's done-detection paths must be EXACTLY where the runners
+    write: mmbt lives in results_dir_mmbt (run_mm_early.py:63-65) and
+    --nsamples adds the N-segment to mm_late stems (_common.artifact_stem)
+    — both were hand-rolled wrong before (code-review r4 finding)."""
+    args = run_grid.parse_args([
+        "--families", "mm_early", "--mm_early", "mmbt", "--tasks", "3",
+        "--seeds", "30", "--aux", "itc",
+    ])
+    (r,) = run_grid.build_plan(args)
+    assert r.val_csv.startswith(C.results_dir_mmbt)
+    assert r.val_csv.endswith("mmbt_task3_seed30_itc0.1_metrics_val.csv")
+
+    args = run_grid.parse_args([
+        "--families", "mm_late", "--mm_late", "bert-vit-concat",
+        "--tasks", "3", "--seeds", "30", "--aux", "none",
+        "--", "--nsamples", "100", "--testing",
+    ])
+    (r,) = run_grid.build_plan(args)
+    assert "/testing/" in r.val_csv
+    assert r.val_csv.endswith(
+        "bert-vit-concat_task3_seed30__N100_metrics_val.csv")
+
+
 def test_aggregate_best_val_selection_and_stats(tmp_path, monkeypatch):
     """Synthetic metric CSVs: the aggregate must pick each run's test column
     at the best-val-f1_macro epoch and compute mean+-std across seeds."""

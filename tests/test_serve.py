@@ -548,6 +548,16 @@ def test_parse_model_spec():
         serve.parse_model_spec(base, "a/b:model=vilt")  # route-unsafe
     with pytest.raises(SystemExit):
         serve.parse_model_spec(base, "x:port=1")  # server plumbing key
+    # None-default flags coerce from the DECLARED type, not the runtime
+    # value (image_size default None used to come through as a string)
+    _, m2 = serve.parse_model_spec(base, "cnn:image_size=288")
+    assert m2.image_size == 288 and isinstance(m2.image_size, int)
+    with pytest.raises(SystemExit):  # declared choices are enforced
+        serve.parse_model_spec(base, "x:model=nosuch")
+    with pytest.raises(SystemExit):  # non-numeric int value fails loudly
+        serve.parse_model_spec(base, "x:max_batch=many")
+    with pytest.raises(SystemExit):  # "default" is the primary's label
+        serve.parse_model_spec(base, "default:model=vilt")
 
 
 def test_multi_model_endpoint():
