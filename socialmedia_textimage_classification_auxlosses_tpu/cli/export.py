@@ -66,22 +66,73 @@ def parse_args(argv=None):
     ap.add_argument("--check", action="store_true",
                     help="deserialize the written artifact and assert "
                          "ULP-level agreement vs the live jitted predict")
+    ap.add_argument("--export_detector", action="store_true",
+                    help="(--model lxmert) also export the fused FRCNN "
+                         "detector program per canvas orientation at "
+                         "--detector_batch — raw padded uint8 canvases + "
+                         "per-image valid sizes in, 36-region tensors out "
+                         "(<out>.detector.{landscape,portrait}.stablehlo)")
+    ap.add_argument("--detector_batch", type=int, default=16,
+                    help="fixed batch of the exported detector programs "
+                         "(the cacher's dispatch group size)")
     export_args, serve_argv = ap.parse_known_args(argv)
     args = _serve.parse_args(serve_argv)
     return export_args, args
 
 
+def export_detector(detector, batch: int, platforms=None):
+    """Fused single-dispatch FRCNN program -> {orientation: (blob, meta)}.
+
+    Inputs per program: ``canvases`` (batch, Hp, Wp, 3) uint8 RAW RGB
+    padded canvases (``preprocess_image`` host half) and ``size_hw``
+    (batch, 2) float32 per-image valid (resized_h, resized_w); outputs the
+    fused detector's 36-region tensors (roi_features, boxes in image
+    coords normalized by the caller contract below, scores, classes,
+    valid counts). Weights embedded. One program per canvas orientation
+    (landscape/portrait) — exactly the two jit specializations the live
+    detector compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.cfg
+    div = cfg.size_divisibility
+    rup = lambda v: ((v + div - 1) // div) * div  # noqa: E731
+    out = {}
+    for orient, (ph, pw) in (("landscape", (rup(cfg.min_size),
+                                            rup(cfg.max_size))),
+                             ("portrait", (rup(cfg.max_size),
+                                           rup(cfg.min_size)))):
+        specs = (jax.ShapeDtypeStruct((batch, ph, pw, 3), jnp.uint8),
+                 jax.ShapeDtypeStruct((batch, 2), jnp.float32))
+        fn = jax.jit(lambda canv, sizes: detector._fused_detect(
+            detector.params, canv, sizes))
+        kwargs = {"platforms": platforms} if platforms else {}
+        exported = jax.export.export(fn, **kwargs)(*specs)
+        out[orient] = (exported.serialize(), {
+            "canvas": [batch, ph, pw, 3],
+            "inputs": "canvases uint8 RAW RGB (preprocess_image), "
+                      "size_hw float32 (batch, 2) valid resized dims",
+            "outputs": "roi_features (batch, 36, feat), normalized_boxes, "
+                       "scores, classes, valid counts",
+            "platforms": list(exported.platforms),
+        })
+    return out
+
+
 def export_service(args, platforms=None):
-    """-> (serialized bytes, sidecar dict, check_fn). ``check_fn(blob)``
-    re-runs the artifact against the live predict on a sample batch."""
+    """-> (serialized bytes, sidecar dict, check_fn, info). ``check_fn``
+    re-runs the artifact against the live predict on a sample batch;
+    ``info`` carries the live pieces (incl. the detector for
+    ``--export_detector``)."""
     import jax
 
     info = {}
     _serve.build_service(args, export_info=info)
     if info.get("detector") is not None:
-        logger.warning(
-            "lxmert export covers the classifier graph; the FRCNN detector "
-            "stays a runtime component (sidecar records the ROI contract)")
+        logger.info(
+            "lxmert classifier graph exported; pass --export_detector to "
+            "also export the fused FRCNN programs (otherwise the detector "
+            "stays a runtime component; sidecar records the ROI contract)")
     predict, params = info["predict"], info["params"]
     sample = info["make_batch"]([("stablehlo export sample", None)])
     specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -131,7 +182,7 @@ def export_service(args, platforms=None):
         np.testing.assert_allclose(live, back, rtol=1e-5, atol=1e-7)
         return live
 
-    return blob, sidecar, check
+    return blob, sidecar, check, info
 
 
 def main(argv=None):
@@ -139,7 +190,7 @@ def main(argv=None):
     enable_compile_cache()
     platforms = (export_args.platforms.split(",")
                  if export_args.platforms else None)
-    blob, sidecar, check = export_service(args, platforms)
+    blob, sidecar, check, info = export_service(args, platforms)
 
     out = export_args.out
     if out is None:
@@ -160,12 +211,28 @@ def main(argv=None):
         json.dump(sidecar, f, indent=1)
     logger.info("wrote %s (%.1f MB) + sidecar", out, len(blob) / 2 ** 20)
 
+    detector_files = []
+    if export_args.export_detector:
+        if info.get("detector") is None:
+            raise SystemExit("--export_detector needs --model lxmert")
+        dets = export_detector(info["detector"], export_args.detector_batch,
+                               platforms)
+        for orient, (dblob, dmeta) in dets.items():
+            dpath = f"{out}.detector.{orient}.stablehlo"
+            with open(dpath, "wb") as f:
+                f.write(dblob)
+            with open(dpath + ".json", "w") as f:
+                json.dump(dmeta, f, indent=1)
+            detector_files.append(dpath)
+            logger.info("wrote %s (%.1f MB)", dpath, len(dblob) / 2 ** 20)
+
     if export_args.check:
         check(open(out, "rb").read())
         logger.info("round-trip check passed: deserialized artifact is "
                     "ULP-identical to the live predict")
     print(json.dumps({"out": out, "bytes": len(blob),
                       "platforms": sidecar["platforms"],
+                      "detectors": detector_files,
                       "checked": bool(export_args.check)}))
 
 

@@ -96,6 +96,55 @@ def test_multiplatform_export():
         "vit", "--fusion_name", "concat", "--arch", "tiny",
         "--max_batch", "1", "--random_init",
     ])
-    blob, sidecar, check = export.export_service(args, platforms=["cpu"])
+    blob, sidecar, check, _ = export.export_service(args, platforms=["cpu"])
     assert sidecar["platforms"] == ["cpu"]
     check(blob)  # ULP-level round trip
+
+
+def test_detector_export_matches_live(tmp_path):
+    """--export_detector ships the fused FRCNN programs; the deserialized
+    landscape module must reproduce the live fused detector on a real
+    preprocessed canvas batch."""
+    from jax import export as jexport
+
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import (
+        export, serve,
+    )
+    from socialmedia_textimage_classification_auxlosses_tpu.models import (
+        frcnn as FR,
+    )
+
+    out = str(tmp_path / "lx.stablehlo")
+    export.main([
+        "--out", out, "--export_detector", "--detector_batch", "2",
+        "--task", "3", "--model", "lxmert", "--arch", "tiny",
+        "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init",
+    ])
+    dpath = out + ".detector.landscape.stablehlo"
+    assert os.path.getsize(dpath) > 1000
+    dmeta = json.load(open(dpath + ".json"))
+    batch, ph, pw, _ = dmeta["canvas"]
+
+    # live detector with the SAME weights (seeded random init)
+    args = serve.parse_args([
+        "--task", "3", "--model", "lxmert", "--arch", "tiny",
+        "--frcnn_arch", "tiny", "--max_batch", "2", "--random_init",
+    ])
+    info = {}
+    serve.build_service(args, export_info=info)
+    det = info["detector"]
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 255, (48, 80, 3), np.uint8) for _ in range(batch)]
+    canv = np.zeros((batch, ph, pw, 3), np.uint8)
+    sizes = np.ones((batch, 2), np.float32)
+    for i, im in enumerate(imgs):
+        c, hw1, _ = FR.preprocess_image(im, det.cfg)
+        canv[i], sizes[i] = c, hw1
+    live = det._fused(det.params, canv, sizes)
+
+    exp = jexport.deserialize(bytearray(open(dpath, "rb").read()))
+    back = exp.call(canv, sizes)
+    for a, b in zip(live, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
