@@ -11,7 +11,8 @@ a production deployment needs an online path. This runner loads a trained
 
     POST /classify   {"text": "...", "image_b64": "<base64 bytes>" |
                       "image_path": "p.jpg"}   ->
-                     {"prediction": k, "class": "...", "probs": [...]}
+                     {"prediction": k, "class": "...", "probs": [...],
+                      "timing_ms": {"queue": ..., "dispatch": ...}}
     GET  /healthz    liveness + model identity + traffic counters
     GET  /metrics    Prometheus text exposition (requests/errors/windows
                      counters + per-window dispatch latency histogram)
@@ -545,7 +546,7 @@ class MicroBatcher:
         if self._stop or not self._thread.is_alive():
             raise RuntimeError("serving dispatcher is not running")
         done = threading.Event()
-        slot = {"done": done}
+        slot = {"done": done, "t_submit": time.monotonic()}
         with self._inflight_lock:
             self._inflight += 1
         try:
@@ -609,6 +610,14 @@ class MicroBatcher:
                     self.dispatch_seconds += dt
                     self.latency_counts[i] += 1
                 for (_, _, slot), res in zip(pending, results):
+                    # per-request tracing: time spent queued for a window
+                    # vs inside the device dispatch (answer latency =
+                    # queue + dispatch; surfaced in the response so a
+                    # client can tell batching delay from model time)
+                    res["timing_ms"] = {
+                        "queue": round((t0 - slot["t_submit"]) * 1e3, 2),
+                        "dispatch": round(dt * 1e3, 2),
+                    }
                     slot["result"] = res
                     slot["done"].set()
             except BaseException as e:  # surface to every waiting caller —

@@ -232,6 +232,27 @@ def test_lxmert_service_runs_detector_per_request():
     assert not np.allclose(out[0]["probs"], out2[0]["probs"])
 
 
+def test_response_carries_request_timing():
+    """Every response reports queue vs dispatch milliseconds so clients
+    can tell batching delay from model time (request-level tracing)."""
+    from socialmedia_textimage_classification_auxlosses_tpu.cli import serve
+
+    args = serve.parse_args([
+        "--task", "3", "--txt_model_name", "bert", "--img_model_name",
+        "vit", "--fusion_name", "concat", "--arch", "tiny",
+        "--max_batch", "2", "--batch_window_ms", "5", "--random_init",
+    ])
+    predict, _ = serve.build_service(args)
+    batcher = serve.MicroBatcher(predict, 2, 5.0)
+    try:
+        out = batcher.submit("trace me", None)
+        t = out["timing_ms"]
+        assert t["dispatch"] > 0
+        assert 0 <= t["queue"] < 60_000
+    finally:
+        batcher.close()
+
+
 def test_lxmert_service_device_ingest():
     """--frcnn_ingest device routes request images through the on-device
     resize; results must stay close to the PIL default (the quantified
