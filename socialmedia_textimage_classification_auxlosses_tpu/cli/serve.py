@@ -469,6 +469,13 @@ def build_service(args, detector_cache: dict = None, export_info: dict = None):
         "max_batch": b,
         "model_path": None if args.random_init else model_path,
         "native_size": native_size,
+        # handler-side resize contract: square families let the HTTP
+        # handler thread resize right after decode (PIL releases the GIL
+        # during the C resample), so the single dispatcher thread's window
+        # cost stays device-only — make_batch accepts either form and its
+        # own resize branch stays for direct/inproc callers
+        "resize_size": None if detector is not None else image_size,
+        "center_crop_from": center_crop_from,
     }
     return predict_batch, meta
 
@@ -862,6 +869,18 @@ def make_server(args, batcher: MicroBatcher, meta, extra_services=None):
                 text = payload.get("text", "")
                 image = _decode_image(payload, args.image_root,
                                       m.get("native_size"))
+                if m.get("resize_size") and image is not None and not (
+                        isinstance(image, np.ndarray)):
+                    # resize HERE, in the per-request handler thread (PIL
+                    # releases the GIL in the C resample) — not in the one
+                    # dispatcher thread, where it would serialize inside
+                    # the batch window. Same resize_to_u8 call make_batch
+                    # would make: bytes are identical.
+                    from ..data.images import resize_to_u8
+
+                    image = resize_to_u8(
+                        image, m["resize_size"],
+                        center_crop_from=m.get("center_crop_from"))
             except Exception as e:
                 self._send(400, {"error": repr(e)})
                 return
