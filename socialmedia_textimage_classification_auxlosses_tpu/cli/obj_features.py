@@ -117,7 +117,9 @@ def extract_grid_features(ids, img_fmt, cache: RoiFeatureCache, tiny=False,
 
 def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
                            weight_path: str = None, tiny: bool = False,
-                           dtype: str = "float32", ingest: str = "pil"):
+                           dtype: str = "float32", ingest: str = "pil",
+                           rpn_pre_topk: int = None,
+                           rpn_post_topk: int = None):
     """Native detector path: raw images -> (N, 36, 2048) ROI features +
     (N, 36, 4) normalized boxes (reference preprocess_obj,
     obj_features.py:142-173), resumable at the cache level.
@@ -132,6 +134,7 @@ def extract_frcnn_features(ids, img_fmt, cache: RoiFeatureCache,
     cfg = FR.TINY if tiny else FR.FrcnnConfig()
     if dtype != cfg.dtype:
         cfg = dataclasses.replace(cfg, dtype=dtype)
+    cfg = FR.apply_topk_overrides(cfg, rpn_pre_topk, rpn_post_topk)
     det = None
     if weight_path is None:
         weight_path = C.MODEL_DIR_DICT.get("frcnn", "")
@@ -253,6 +256,18 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = bf16 conv trunk (throughput "
                              "option; f32 is the torch-twin parity default)")
+    parser.add_argument("--rpn_pre_topk", type=int, default=None,
+                        help="RPN pre-NMS proposal count (default 6000, the "
+                             "published VG-detector value). Lower = less "
+                             "device sort/NMS work per image; recall knob — "
+                             "validate against real weights before trusting "
+                             "features from a reduced setting")
+    parser.add_argument("--rpn_post_topk", type=int, default=None,
+                        help="RPN post-NMS ROI count fed to res5 (default "
+                             "1000). THE device-time lever: res5 runs per "
+                             "ROI. Lower = faster, fewer candidate regions "
+                             "before the final top-36 cut; recall knob like "
+                             "--rpn_pre_topk")
     parser.add_argument("--frcnn_ingest", type=str, default="pil",
                         choices=["pil", "device"],
                         help="device = ship ORIGINAL uint8 pixels and "
@@ -317,7 +332,9 @@ def main(argv=None):
                                    weight_path=args.frcnn_ckpt,
                                    tiny=args.frcnn_arch == "tiny",
                                    dtype=args.frcnn_dtype,
-                                   ingest=args.frcnn_ingest)
+                                   ingest=args.frcnn_ingest,
+                                   rpn_pre_topk=args.rpn_pre_topk,
+                                   rpn_post_topk=args.rpn_post_topk)
     else:
         size = args.image_size or (384 if args.mode == "vilt" else 224)
         tag = f"{task_name}_vilt_u8_{size}" if args.mode == "vilt" else f"{task_name}_u8_{size}"

@@ -86,6 +86,16 @@ def build_parser():
                              "per new original-size bucket (64px grid) — "
                              "a one-time latency spike per bucket, "
                              "persistent-cached across restarts")
+    parser.add_argument("--rpn_pre_topk", type=int, default=None,
+                        help="(--model lxmert) RPN pre-NMS proposal count "
+                             "(default 6000). Lower = less device sort/NMS "
+                             "per request; a recall trade — validate on "
+                             "real weights first")
+    parser.add_argument("--rpn_post_topk", type=int, default=None,
+                        help="(--model lxmert) RPN post-NMS ROI count fed "
+                             "to res5 (default 1000) — the per-request "
+                             "device-time lever; a recall trade like "
+                             "--rpn_pre_topk")
     parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--img_decoder", type=str, default="pil",
                         choices=["pil", "native"],
@@ -181,7 +191,7 @@ _SPEC_KEYS = frozenset({
     "beta_itc", "beta_itm", "dropout", "dtype", "attn_impl", "scan_layers",
     "quantize", "max_batch", "batch_window_ms", "random_init", "testing",
     "image_size", "frcnn_arch", "frcnn_ckpt", "frcnn_ingest", "fast_start",
-    "nsamples",
+    "nsamples", "rpn_pre_topk", "rpn_post_topk",
 })
 
 
@@ -245,7 +255,9 @@ def _make_detector(args, cache: dict = None):
     dispatches are thread-safe across the per-model batcher threads."""
     from ..models import frcnn as FR
 
-    key = (args.frcnn_arch, args.frcnn_ckpt, args.random_init)
+    pre = getattr(args, "rpn_pre_topk", None)
+    post = getattr(args, "rpn_post_topk", None)
+    key = (args.frcnn_arch, args.frcnn_ckpt, args.random_init, pre, post)
     if cache is not None and key in cache:
         logger.info("sharing the %s FRCNN detector across models",
                     args.frcnn_arch)
@@ -257,6 +269,7 @@ def _make_detector(args, cache: dict = None):
         return det
 
     cfg = FR.TINY if args.frcnn_arch == "tiny" else FR.FrcnnConfig()
+    cfg = FR.apply_topk_overrides(cfg, pre, post)
     weight_path = args.frcnn_ckpt or C.MODEL_DIR_DICT.get("frcnn", "")
     if args.random_init:
         # smoke mode: random classifier implies a random detector is fine

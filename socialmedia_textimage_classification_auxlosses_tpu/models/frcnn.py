@@ -118,6 +118,54 @@ TINY = FrcnnConfig(
 )
 
 
+def apply_topk_overrides(cfg: "FrcnnConfig", pre_topk=None, post_topk=None):
+    """RPN proposal-budget knobs (``--rpn_pre_topk``/``--rpn_post_topk``).
+
+    ``pre_topk`` caps the score-ordered anchor set entering RPN NMS (device
+    sort + masked-NMS width); ``post_topk`` caps the ROI count fed to res5 —
+    the per-ROI conv stage that dominates device time at full geometry.
+    Both default to the published VG-detector values (6000/1000, matching
+    the reference's external detector, obj_features.py:142-173); any
+    reduction is a speed/recall trade and is logged loudly so cached
+    features are never silently built from a pruned proposal set."""
+    if pre_topk is None and post_topk is None:
+        return cfg
+    kw = {}
+    if pre_topk is not None:
+        if pre_topk < 1:
+            raise ValueError(f"rpn_pre_topk must be >= 1, got {pre_topk}")
+        kw["rpn_pre_nms_topk"] = int(pre_topk)
+    if post_topk is not None:
+        if post_topk < cfg.max_detections:
+            raise ValueError(
+                f"rpn_post_topk {post_topk} < max_detections "
+                f"{cfg.max_detections}: the final selection needs at least "
+                "that many candidate ROIs")
+        kw["rpn_post_nms_topk"] = int(post_topk)
+    # the post-NMS budget can never exceed the pre-NMS candidate set (the
+    # fused device path sizes its proposal tensor to post and fills it from
+    # the pre-topk survivors)
+    pre_eff = kw.get("rpn_pre_nms_topk", cfg.rpn_pre_nms_topk)
+    post_eff = min(kw.get("rpn_post_nms_topk", cfg.rpn_post_nms_topk),
+                   pre_eff)
+    if post_eff < cfg.max_detections:
+        raise ValueError(
+            f"effective rpn_post_topk {post_eff} < max_detections "
+            f"{cfg.max_detections}: the final selection needs at least "
+            "that many candidate ROIs")
+    kw["rpn_post_nms_topk"] = post_eff
+    new = dataclasses.replace(cfg, **kw)
+    if (new.rpn_pre_nms_topk < cfg.rpn_pre_nms_topk
+            or new.rpn_post_nms_topk < cfg.rpn_post_nms_topk):
+        logger.warning(
+            "FRCNN RPN budget reduced: pre-NMS %d->%d, post-NMS %d->%d — "
+            "faster, but a recall trade vs the published detector; "
+            "validate on real weights before trusting cached features",
+            cfg.rpn_pre_nms_topk, new.rpn_pre_nms_topk,
+            cfg.rpn_post_nms_topk, new.rpn_post_nms_topk)
+    return new
+
+
 # ---------------------------------------------------------------------------
 # Modules
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ def main():
                     choices=["pil", "device"],
                     help="device = ship originals, resize on device "
                          "(~3x fewer host->device bytes)")
+    ap.add_argument("--pre_topk", type=int, default=None,
+                    help="RPN pre-NMS proposal budget (default 6000)")
+    ap.add_argument("--post_topk", type=int, default=None,
+                    help="RPN post-NMS ROI budget into res5 (default 1000)")
     ap.add_argument("--h2d", action="store_true",
                     help="also time the raw host->device canvas transfer "
                          "(how much of warm ms/image is input bytes on the "
@@ -67,6 +71,7 @@ def main():
     cfg = FR.FrcnnConfig()
     if args.dtype != cfg.dtype:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    cfg = FR.apply_topk_overrides(cfg, args.pre_topk, args.post_topk)
     det = FR.FrcnnDetector(cfg)
 
     if args.h2d:
