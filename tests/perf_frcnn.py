@@ -39,6 +39,13 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="conv-trunk dtype (bfloat16 = the --frcnn_dtype "
                          "throughput option; f32 is the parity default)")
+    ap.add_argument("--arch", type=str, default="full",
+                    choices=["full", "tiny"],
+                    help="tiny = test geometry (CPU-runnable self-check of "
+                         "the tool; numbers are meaningless for BASELINE)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS; jax.config works)")
     ap.add_argument("--ingest", type=str, default="pil",
                     choices=["pil", "device"],
                     help="device = ship originals, resize on device "
@@ -51,9 +58,25 @@ def main():
                     help="also time the raw host->device canvas transfer "
                          "(how much of warm ms/image is input bytes on the "
                          "tunneled link)")
+    ap.add_argument("--agree", action="store_true",
+                    help="(with --pre_topk/--post_topk) also run the SAME "
+                         "weights at the published 6000/1000 budget in the "
+                         "same window and report timing + output agreement: "
+                         "fraction of the final boxes that IoU-match the "
+                         "full-budget output, and mean feature cosine over "
+                         "the matched pairs. Random weights, so this is the "
+                         "budget's MECHANICAL sensitivity (how much the "
+                         "selected ROI set moves), not a recall number — "
+                         "recall needs the real VG checkpoint "
+                         "(cli/verify_imports.py when it arrives)")
     args = ap.parse_args()
 
     import numpy as np
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import bench as B
     B.enable_compile_cache()
@@ -68,7 +91,8 @@ def main():
             for _ in range(args.batch)]
     import dataclasses
 
-    cfg = FR.FrcnnConfig()
+    base_cfg = FR.TINY if args.arch == "tiny" else FR.FrcnnConfig()
+    cfg = base_cfg
     if args.dtype != cfg.dtype:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
     cfg = FR.apply_topk_overrides(cfg, args.pre_topk, args.post_topk)
@@ -114,6 +138,63 @@ def main():
         assert out[0]["roi_features"].shape[0] == det.cfg.max_detections
         print(f"{label}: {best * 1e3:.0f} ms/image warm "
               f"({1.0 / best:.2f} images/s) at {h}x{w}, batch {args.batch}")
+
+    if args.agree:
+        if args.pre_topk is None and args.post_topk is None:
+            ap.error("--agree needs --pre_topk and/or --post_topk")
+        # same weights, published budget — only the proposal/ROI budgets
+        # differ, so any output delta is the budget cut itself
+        full_cfg = dataclasses.replace(base_cfg, dtype=args.dtype)
+        ref = FR.FrcnnDetector(full_cfg, params=det.params)
+        t0 = time.perf_counter()
+        ref_out = ref.detect_batch(imgs, ingest=args.ingest)
+        print(f"# full-budget: cold (compile) "
+              f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+        best = float("inf")
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            ref_out = ref.detect_batch(imgs, ingest=args.ingest)
+            best = min(best, (time.perf_counter() - t0) / args.batch)
+        print(f"full-budget ({full_cfg.rpn_pre_nms_topk}/"
+              f"{full_cfg.rpn_post_nms_topk}): {best * 1e3:.0f} ms/image "
+              f"warm (same window as the cut-budget run above)")
+
+        def iou(a, b):
+            # a (N,4), b (M,4) xyxy -> (N,M)
+            lt = np.maximum(a[:, None, :2], b[None, :, :2])
+            rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+            area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+            return inter / np.maximum(area_a + area_b - inter, 1e-9)
+
+        match50 = match90 = total = 0
+        cosines = []
+        for cut, full in zip(out, ref_out):
+            m = iou(full["normalized_boxes"], cut["normalized_boxes"])
+            # greedy one-to-one: best pair first, remove its row+col
+            mm = m.copy()
+            while mm.size and mm.max() > 0.5:
+                i, j = np.unravel_index(np.argmax(mm), mm.shape)
+                best_iou = mm[i, j]
+                match50 += 1
+                if best_iou >= 0.9:
+                    match90 += 1
+                    fa = full["roi_features"][i]
+                    fb = cut["roi_features"][j]
+                    denom = np.linalg.norm(fa) * np.linalg.norm(fb)
+                    if denom > 0:
+                        cosines.append(float(fa @ fb / denom))
+                mm[i, :] = 0
+                mm[:, j] = 0
+            total += full["normalized_boxes"].shape[0]
+        cos = float(np.mean(cosines)) if cosines else float("nan")
+        print(f"agreement vs full budget (random weights, mechanical "
+              f"sensitivity): IoU>=0.5 match {match50}/{total} "
+              f"({match50 / total:.1%}), IoU>=0.9 match {match90}/{total} "
+              f"({match90 / total:.1%}), matched-ROI feature cosine "
+              f"{cos:.4f}")
 
     if args.pipeline:
         if args.reps < 1:
