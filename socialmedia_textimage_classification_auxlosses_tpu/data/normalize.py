@@ -186,25 +186,39 @@ def tweet_tokenize(
 
 
 # --------------------------------------------------------------------------
-# Demojization without third-party deps: Unicode character names in the
-# ``:snake_case:`` convention the emoji package uses (identical strings for
-# the overwhelmingly common cases, e.g. :face_with_tears_of_joy:).
+# Demojization without third-party deps, faithful to ``emoji==0.6.0`` which
+# the reference uses (reference text_processing.py:186-194,243).  The
+# vendored table maps bare codepoints to the package's CLDR-style names
+# (provenance + forensics in tools/gen_emoji06_table.py).  Only 1-char
+# tokens ever reach the demojizer (text_processing.py:242-246), so bare
+# single codepoints are the complete reachable key space; characters absent
+# from the 0.6.0-era table — including emoji added to Unicode later and
+# stray variation selectors split off by the tokenizer — pass through
+# unchanged, exactly as the frozen 0.6.0 table would leave them.
 # --------------------------------------------------------------------------
+
+from ._emoji06_table import EMOJI06_NAMES
 
 
 @lru_cache(maxsize=4096)
-def demojize_char(ch: str) -> str:
+def demojize_char(ch: str, unicode_name_fallback: bool = False) -> str:
     if len(ch) != 1:
         return ch
+    name = EMOJI06_NAMES.get(ord(ch))
+    if name is not None:
+        return ":" + name + ":"
+    if not unicode_name_fallback:
+        return ch
+    # Opt-in non-parity mode: derive a :snake_case: name from the Unicode
+    # character name for emoji newer than the 0.6.0 table.
     cat = unicodedata.category(ch)
-    # So = symbol-other (emoji, dingbats); Sk covers some modifiers.
     if cat not in ("So", "Sk") and not (0x1F000 <= ord(ch) <= 0x1FAFF):
         return ch
     try:
-        name = unicodedata.name(ch)
+        uname = unicodedata.name(ch)
     except ValueError:
         return ch
-    return ":" + name.lower().replace(" ", "_").replace("-", "_") + ":"
+    return ":" + uname.lower().replace(" ", "_").replace("-", "_") + ":"
 
 
 _SPECIAL_PUNCTS = {"’": "'", "…": "..."}

@@ -71,6 +71,88 @@ def test_demojize():
     assert NORM.normalize("so funny \U0001F602") == "so funny :face_with_tears_of_joy:"
 
 
+# ---------------------------------------------------------------------------
+# emoji==0.6.0 demojize parity (vendored table; provenance in
+# tools/gen_emoji06_table.py).  The reference demojizes only 1-char tokens
+# (text_processing.py:242-246), so bare codepoints are the whole key space.
+# ---------------------------------------------------------------------------
+
+
+def test_demojize_emoji06_names():
+    # CLDR-style 0.6.0 names, not raw Unicode character names
+    assert demojize_char("❤") == ":red_heart:"  # not :heavy_black_heart:
+    assert demojize_char("\U0001F60D") == ":smiling_face_with_heart-eyes:"
+    assert demojize_char("\U0001F621") == ":pouting_face:"  # CLDR-36 era name
+    assert demojize_char("\U0001F44D") == ":thumbs_up:"
+    assert demojize_char("\U0001F64F") == ":folded_hands:"
+    assert demojize_char("♥") == ":heart_suit:"
+    assert demojize_char("\U0001F385") == ":Santa_Claus:"  # capitalization kept
+    assert demojize_char("\U0001F197") == ":OK_button:"
+    assert demojize_char("\U0001F550") == ":one_o’clock:"  # curly apostrophe
+    assert demojize_char("\U0001F202") == ":Japanese_“service_charge”_button:"
+    # 0.6.0 is frozen in time: post-2020 emoji pass through unchanged
+    assert demojize_char("\U0001FAE0") == "\U0001FAE0"  # melting face (U14)
+    # stray VS16 split off by the tokenizer passes through
+    assert demojize_char("️") == "️"
+    # opt-in non-parity fallback derives a name for newer emoji
+    assert demojize_char("\U0001FAE0", unicode_name_fallback=True) == ":melting_face:"
+
+
+def test_demojize_in_context():
+    assert NORM.normalize("I ❤ you") == "I :red_heart: you"
+    # fully-qualified ❤️ tokenizes into ❤ + stray FE0F, matching emoji 0.6.0's
+    # well-known variation-selector artifact
+    assert NORM.normalize("I ❤️ you") == "I :red_heart: ️ you"
+    assert (
+        NORM.normalize("lol \U0001F602\U0001F602")
+        == "lol :face_with_tears_of_joy: :face_with_tears_of_joy:"
+    )
+    # skin-toned thumbs-up splits into base + modifier, each in the table
+    assert NORM.normalize("ok \U0001F44D\U0001F3FB") == "ok :thumbs_up: :light_skin_tone:"
+
+
+def test_demojize_table_sweep():
+    from socialmedia_textimage_classification_auxlosses_tpu.data._emoji06_table import (
+        EMOJI06_NAMES,
+    )
+
+    assert len(EMOJI06_NAMES) > 1200
+    import re as _re
+
+    name_re = _re.compile(r"^[0-9A-Za-z_\-!.()&’“”#*]+$")
+    for cp, name in EMOJI06_NAMES.items():
+        assert name_re.match(name), (hex(cp), name)
+        assert demojize_char(chr(cp)) == f":{name}:"
+    # plain ASCII letters/digits/punct are never in the table
+    for ch in "aZ09.!?#@":
+        assert ord(ch) not in EMOJI06_NAMES
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("emoji") is None,
+    reason="emoji package not installed (adjudicates the vendored table on arrival)",
+)
+def test_demojize_parity_live():
+    """When a real emoji package appears, diff every vendored entry against it.
+
+    With emoji==0.6.0 this must be an exact match (divergence count 0); a
+    newer emoji release may legitimately rename entries — failures here name
+    each divergent codepoint for adjudication.
+    """
+    import emoji as emoji_pkg
+
+    from socialmedia_textimage_classification_auxlosses_tpu.data._emoji06_table import (
+        EMOJI06_NAMES,
+    )
+
+    diverged = []
+    for cp, name in EMOJI06_NAMES.items():
+        live = emoji_pkg.demojize(chr(cp))
+        if live != f":{name}:":
+            diverged.append((hex(cp), name, live))
+    assert not diverged, f"{len(diverged)} divergences vs live emoji pkg: {diverged[:20]}"
+
+
 def test_phone_numbers_kept_whole():
     assert tweet_tokenize("call 555-123-4567 now") == ["call", "555-123-4567", "now"]
 
@@ -113,8 +195,57 @@ def test_parity_with_reference_normalizer():
             ":) :( ;-) :-D =D 8-) >:( <3 </3",
         ]
         # Reference env has no emoji package, so single-char emoji pass
-        # through there; every case above is emoji-free.
+        # through there; every case above is emoji-free.  Emoji-dense parity
+        # is covered by test_parity_with_reference_normalizer_emoji below
+        # (stub-injected demojizer) plus the vendored-table sweep/live tests.
         for s in cases:
             assert NORM.normalize(s) == ref.normalizeTweet(s), s
     finally:
         sys.path.remove(REFERENCE_PREPROCESSING)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_PREPROCESSING), reason="reference not mounted"
+)
+def test_parity_with_reference_normalizer_emoji():
+    """Emoji-dense parity: run the reference normalizer with a demojize stub
+    backed by our vendored emoji-0.6.0 table, proving the *plumbing* around
+    demojize (per-token gating, joins, replace chains) is byte-identical.
+    Table correctness itself is adjudicated by test_demojize_parity_live."""
+    import importlib
+    import types
+
+    from socialmedia_textimage_classification_auxlosses_tpu.data.normalize import (
+        demojize_char as _dc,
+    )
+
+    stub = types.ModuleType("emoji")
+    stub.demojize = lambda text, delimiters=(":", ":"): "".join(
+        _dc(ch) for ch in text
+    )
+    sys.path.insert(0, REFERENCE_PREPROCESSING)
+    had = sys.modules.get("emoji")
+    sys.modules["emoji"] = stub
+    sys.modules.pop("text_processing", None)
+    try:
+        tp = importlib.import_module("text_processing")
+        ref = tp.Tweet_Preprocessing()
+        assert ref.demojizer is not None
+        cases = [
+            "I ❤ u sooo much 😂😂😂 @bae",
+            "OMG 😍🔥🔥 check https://t.co/x #mood",
+            "she said ❤️ then 💔 then 🙏🏻 ...",
+            "🎅 says: it’s Christmas 🎄!!! 🎁🎁",
+            "mixed ☺ text ♥ and :) emoticons <3 😢",
+            "new ones pass thru 🫠🥹 but old work 🤣",
+            "👍🏽 approved ✅ 💯% A🆗 result",
+        ]
+        for s in cases:
+            assert NORM.normalize(s) == ref.normalizeTweet(s), repr(s)
+    finally:
+        sys.path.remove(REFERENCE_PREPROCESSING)
+        sys.modules.pop("text_processing", None)
+        if had is not None:
+            sys.modules["emoji"] = had
+        else:
+            sys.modules.pop("emoji", None)
