@@ -105,7 +105,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
                  steps_per_dispatch: int = 1, prng_impl: str = "rbg",
                  batch: int = BATCH, opt_moments: str = "f32",
                  opt_kernel: str = "fused", tim_reuse: bool = False,
-                 scan_layers: bool = False):
+                 scan_layers: bool = False, seq_len: int = SEQ):
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +127,7 @@ def measure_ours(steps: int = 30, attn_impl: str = "auto", dtype: str = "bfloat1
     bsz = batch
     model, params, batch = G._flagship(arch="base", dtype=dtype,
                                        attn_impl=attn_impl, batch=bsz,
-                                       seq_len=SEQ, image_size=IMG,
+                                       seq_len=seq_len, image_size=IMG,
                                        num_labels=NUM_LABELS,
                                        scan_layers=scan_layers)
 
@@ -641,6 +641,180 @@ def measure_torch_baseline(steps: int = 10):
     return steps / dt
 
 
+# ---------------------------------------------------------------------------
+# Realistic tweet-length workload (VERDICT round-4 ruling, item 1).
+#
+# The parity-shape rows above keep the reference's synthetic full-length
+# 128-token batches — a workload the real task never produces (the reference
+# pads everything to 128, models/config.py:57-60, but tweets are short).
+# The realistic row prices the SAME full train step over the documented
+# tweet-length mix with sequence bucketing engaged (--bucket_seq +
+# --bucket_group: per-example bitwise parity, tests/test_bucketing.py;
+# pure-width scan chunks, tests/test_bucket_group.py).
+#
+# Length model (defended in BASELINE.md "Realistic workload headline"):
+# cumulative P(len <= w) per tweet after BERTweet-style normalization —
+# ~90% of single-tweet posts fit 32 subword tokens (280-char hard cap,
+# median English tweet ~12 words; MHP's tweet+OCR merges fill the tail).
+# Override with SMTC_BENCH_HIST="32:0.9,64:0.98,96:0.995" to re-price any
+# other histogram; 128 (the reference pad) is always the implicit tail.
+# ---------------------------------------------------------------------------
+
+REALISTIC_LEN_CDF = ((32, 0.90), (64, 0.98), (96, 0.995), (SEQ, 1.0))
+
+
+def parse_len_cdf(spec: str):
+    """"32:0.9,64:0.98" -> ((32,0.9),(64,0.98),(SEQ,1.0)), validated."""
+    pairs = []
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        w, p = part.split(":")
+        pairs.append((int(w), float(p)))
+    pairs.sort()
+    if not pairs or pairs[-1][0] < SEQ:
+        pairs.append((SEQ, 1.0))
+    last = 0.0
+    for w, p in pairs:
+        if not (0.0 <= p <= 1.0) or p < last or not 2 <= w <= SEQ:
+            raise ValueError(f"bad length CDF {spec!r}")
+        last = p
+    if pairs[-1][1] != 1.0:
+        raise ValueError(f"length CDF must end at 1.0: {spec!r}")
+    return tuple(pairs)
+
+
+def batch_bucket_mix(cdf, batch_size: int):
+    """P(batch buckets to width w) for i.i.d. per-tweet lengths: the batch
+    takes bucket w iff all B tweets fit w and not all fit the next-smaller
+    bucket — P = cdf_w^B - cdf_prev^B."""
+    mix = {}
+    prev = 0.0
+    for w, p in cdf:
+        mix[w] = p ** batch_size - prev ** batch_size
+        prev = p
+    total = sum(mix.values())
+    assert abs(total - 1.0) < 1e-9, mix
+    return mix
+
+
+def compose_rate(mix, rates):
+    """Time-weighted (harmonic) composition of steady-state posts/s rates
+    over the batch-bucket mix: wall time per post = sum_w P_w / rate_w."""
+    denom = 0.0
+    for w, p in mix.items():
+        if p <= 0.0:
+            continue
+        r = rates.get(w)
+        if not r:
+            return None
+        denom += p / r
+    return 1.0 / denom if denom > 0 else None
+
+
+FAMILY_MODELS = ("vilt", "lxmert", "mmbt")
+
+
+def assemble_report(metric, value, flops, peak, batch, *, parity=None,
+                    realistic=None, families=None, **extra):
+    """The ONE bench JSON object (pure; guardrail-tested in
+    tests/test_bench_schema.py). ``value`` is posts/sec."""
+    out = {"metric": metric, "value": round(value, 2), "unit": "posts/sec",
+           **extra}
+    if parity is not None:
+        out["parity_shape_posts_per_sec"] = round(parity, 2)
+    if realistic is not None:
+        out["realistic_workload"] = realistic
+    if families is not None:
+        out["families_posts_per_sec"] = families
+    out["model_flops_per_step"] = flops
+    out["mfu"] = (round(flops * (value / batch) / peak, 4)
+                  if peak and flops else None)
+    return out
+
+
+def measure_realistic_block(args, attn_used, known_rates, deadline):
+    """Per-width steady-state rates (the SAME full train step, sliced to the
+    bucket width — what --bucket_seq + --bucket_group dispatches) composed
+    over the documented batch-bucket mix. ``known_rates`` seeds widths
+    already measured this run (the full-pad headline)."""
+    cdf = REALISTIC_LEN_CDF
+    spec = os.environ.get("SMTC_BENCH_HIST")
+    if spec:
+        cdf = parse_len_cdf(spec)
+    mix = batch_bucket_mix(cdf, args.batch)
+    rates = dict(known_rates)
+    for w, p in mix.items():
+        if w in rates or p < 1e-4:
+            continue
+        if time.perf_counter() > deadline:
+            print(f"# realistic-workload budget exhausted before width {w}",
+                  file=sys.stderr)
+            return None
+        try:
+            sps_w, _, _ = measure_ours(
+                args.steps, attn_impl=attn_used, opt_impl=args.opt_impl,
+                cache_vision=args.cache_vision,
+                steps_per_dispatch=args.steps_per_dispatch,
+                prng_impl=args.prng_impl, batch=args.batch,
+                opt_moments=args.opt_moments, opt_kernel=args.opt_kernel,
+                tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers,
+                seq_len=w)
+        except Exception as e:
+            print(f"# realistic width {w} failed: {e}", file=sys.stderr)
+            return None
+        rates[w] = sps_w * args.batch
+        print(f"# realistic width {w}: {rates[w]:.1f} posts/s "
+              f"(mix {p:.3f})", file=sys.stderr)
+    value = compose_rate(mix, rates)
+    if value is None:
+        return None
+    return {
+        "posts_per_sec": round(value, 2),
+        "len_cdf": {str(w): p for w, p in cdf},
+        "batch_bucket_mix": {str(w): round(p, 4) for w, p in mix.items()},
+        "width_posts_per_sec": {str(w): round(r, 1)
+                                for w, r in sorted(rates.items())},
+    }
+
+
+def measure_families_block(args, deadline):
+    """Budgeted per-family telemetry rows (VERDICT round-4 item 7): vilt /
+    lxmert / mmbt train + the flagship eval path, with the same
+    impl-fallback discipline as the headline (a Pallas failure falls back
+    to the XLA path rather than dropping the row)."""
+    out = {}
+    for name in FAMILY_MODELS:
+        if time.perf_counter() > deadline:
+            print(f"# families budget exhausted before {name}",
+                  file=sys.stderr)
+            break
+        for attn in (args.attn_impl, "jnp"):
+            try:
+                sps, _, _ = measure_family(
+                    name, steps=10, batch=args.batch, attn_impl=attn,
+                    steps_per_dispatch=10, prng_impl=args.prng_impl,
+                    opt_kernel=args.opt_kernel)
+                out[name] = round(sps * args.batch, 1)
+                break
+            except Exception as e:
+                print(f"# families {name} (attn={attn}) failed: {e}",
+                      file=sys.stderr)
+    if time.perf_counter() <= deadline:
+        for attn in (args.attn_impl, "jnp"):
+            try:
+                sps, _, _ = measure_eval(
+                    steps=20, batch=args.batch, attn_impl=attn,
+                    cache_vision=True, steps_per_dispatch=10,
+                    prng_impl=args.prng_impl)
+                out["mm_late_eval"] = round(sps * args.batch, 1)
+                break
+            except Exception as e:
+                print(f"# families eval (attn={attn}) failed: {e}",
+                      file=sys.stderr)
+    return out or None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=10,
@@ -827,6 +1001,7 @@ def main():
             tim_reuse=args.tim_reuse_text, scan_layers=args.scan_layers)
 
     posts_per_sec = steps_per_sec * args.batch
+    parity_flops = flops
     # K-sweep (VERDICT r3 item 8): re-measure the flagship at K=10/50/100
     # steps-per-dispatch so every BENCH round records how much of the
     # headline is dispatch/tunnel latency vs device compute. Opt out with
@@ -857,13 +1032,53 @@ def main():
                 k_sweep[str(kk)] = round(sps_k * args.batch, 1)
             except Exception as e:
                 print(f"# K={kk} sweep point failed: {e}", file=sys.stderr)
-    # 2 text passes (primary + TIM) over seq-128 tokens per post feed the
-    # tokens/s line; MFU = XLA-counted step flops x steps/s over bf16 peak
-    report(f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, "
-           f"batch {args.batch})", steps_per_sec, flops,
-           vs_baseline=round(posts_per_sec / baseline["posts_per_sec"], 2),
-           tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1),
-           k_sweep_posts_per_sec=k_sweep)
+    # Realistic tweet-length workload row (VERDICT round-4 ruling): same
+    # step, documented length mix, bucketing engaged. The full-pad headline
+    # seeds the width-128 rate. Opt out with SMTC_BENCH_REALISTIC=0.
+    realistic = None
+    if os.environ.get("SMTC_BENCH_REALISTIC", "1") == "1":
+        deadline = time.perf_counter() + float(
+            os.environ.get("SMTC_BENCH_REALISTIC_BUDGET_S", "1200"))
+        realistic = measure_realistic_block(args, attn_used,
+                                            {SEQ: posts_per_sec}, deadline)
+    # Per-family telemetry rows (VERDICT round-4 item 7). Opt out with
+    # SMTC_BENCH_FAMILIES=0.
+    families = None
+    if os.environ.get("SMTC_BENCH_FAMILIES", "1") == "1":
+        deadline = time.perf_counter() + float(
+            os.environ.get("SMTC_BENCH_FAMILIES_BUDGET_S", "1200"))
+        families = measure_families_block(args, deadline)
+
+    import jax
+
+    peak = peak_flops_of(jax.devices()[0])
+    # Headline = the realistic-workload rate when measured (classifying real
+    # posts faster at bitwise-equal outputs is the north-star; the reference
+    # pads every batch to 128 regardless of workload, so its posts/s — the
+    # vs_baseline denominator — is workload-independent). The parity-shape
+    # full-pad row is always reported alongside. 2 text passes (primary +
+    # TIM) over seq-128 tokens per post feed the tokens/s line; MFU =
+    # XLA-counted step flops x steps/s over bf16 peak (parity-shape step).
+    if realistic is not None:
+        value = realistic["posts_per_sec"]
+        metric = (f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, "
+                  f"batch {args.batch}, realistic tweet-length workload, "
+                  "exact-parity bucketing)")
+    else:
+        value = posts_per_sec
+        metric = (f"posts/sec/chip (Bernice+ViT-Att fine-tune, ITC+ITM, "
+                  f"batch {args.batch})")
+    out = assemble_report(
+        metric, value, parity_flops, peak, args.batch,
+        parity=posts_per_sec, realistic=realistic, families=families,
+        vs_baseline=round(value / baseline["posts_per_sec"], 2),
+        tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1),
+        k_sweep_posts_per_sec=k_sweep)
+    # MFU belongs to the parity-shape step (flops and rate from the same
+    # executable); recompute it from the parity rate, not the mixed rate
+    out["mfu"] = (round(parity_flops * (posts_per_sec / args.batch) / peak, 4)
+                  if peak and parity_flops else None)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -317,10 +317,32 @@ class VisionCachedPipe:
             dev.update(host)
             return dev, k
 
+        # bucket-grouped dispatch (cfg.bucket_group): same pure-width chunk
+        # flushing as SplitPipeline.device_iter_chunks
+        inner = self.inner
+        grouped = bool(inner.cfg.bucket_group and inner.cfg.seq_buckets
+                       and inner.mask is not None and shuffle)
+        order = inner._grouped_order(shuffle, rng) if grouped else None
+        full_width = inner.mask.shape[-1] if inner.mask is not None else None
+
+        def width_of(b):
+            return (inner._bucket_for(b["_max_len"], full_width) or full_width
+                    if grouped and "_max_len" in b else None)
+
         pending = None
         chunk: list = []
-        for batch in self.inner.batches(shuffle=shuffle, rng=rng, bucket=False,
-                                        local_rows=local_rows):
+        cur_w = None
+        for batch in inner.batches(shuffle=shuffle and order is None, rng=rng,
+                                   bucket=False, local_rows=local_rows,
+                                   order=order):
+            w = width_of(batch)
+            if chunk and grouped and w != cur_w:
+                nxt = emit(chunk)
+                chunk = []
+                if pending is not None:
+                    yield pending
+                pending = nxt
+            cur_w = w
             chunk.append(self._with_features(batch))
             if len(chunk) == chunk_steps:
                 nxt = emit(chunk)
@@ -438,7 +460,8 @@ def build_text_setup(args, cfg: C.Config, data_splits=None, freeze=False) -> Set
 
     pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
                               with_images=False,
-                              seq_buckets=seq_buckets_from(args))
+                              seq_buckets=seq_buckets_from(args),
+                              bucket_group=getattr(args, "bucket_group", False))
     pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg)
     return _finish(
         dict(model=model, params=params, forward_fn=forward_fn,
@@ -732,7 +755,8 @@ def build_mm_late_setup(args, cfg: C.Config, data_splits=None) -> Setup:
 
     pipe_cfg = PipelineConfig(batch_size=cfg.batch_size, max_length=cfg.max_length,
                               image_size=image_size,
-                              seq_buckets=seq_buckets_from(args))
+                              seq_buckets=seq_buckets_from(args),
+                              bucket_group=getattr(args, "bucket_group", False))
     pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     return _finish(
         dict(model=model, params=params, forward_fn=forward_fn,

@@ -145,7 +145,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
                                   max_length=cfg.max_length,
                                   image_size=canvas or geo["image_size"],
-                                  seq_buckets=seq_buckets_from(args))
+                                  seq_buckets=seq_buckets_from(args),
+                              bucket_group=getattr(args, "bucket_group", False))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn, pipe_cfg)
     elif model_name == "mmbt":
         from ..models.mmbt import MmbtClassifier, init_mmbt_params
@@ -214,7 +215,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
                                   max_length=cfg.max_length,
                                   image_size=image_size,
-                                  seq_buckets=seq_buckets_from(args))
+                                  seq_buckets=seq_buckets_from(args),
+                              bucket_group=getattr(args, "bucket_group", False))
         pipes = _make_pipes(cfg, data_splits, tokenizer, image_source_fn,
                             pipe_cfg)
     else:  # lxmert
@@ -277,7 +279,8 @@ def build_mm_early_setup(args, cfg: C.Config, data_splits=None,
 
         pipe_cfg = PipelineConfig(batch_size=cfg.batch_size,
                                   max_length=cfg.max_length, with_images=False,
-                                  seq_buckets=seq_buckets_from(args))
+                                  seq_buckets=seq_buckets_from(args),
+                              bucket_group=getattr(args, "bucket_group", False))
         pipes = _make_pipes(cfg, data_splits, tokenizer, pipe_cfg=pipe_cfg,
                             roi_cache=roi_cache)
 

@@ -116,6 +116,16 @@ def add_common_args(parser: argparse.ArgumentParser, multimodal: bool = False):
                              "fallback). EXACT under masked attention — "
                              "same logits, same trajectory, less padded "
                              "compute (tests/test_bucketing.py)")
+    parser.add_argument("--bucket_group", action="store_true",
+                        help="with --bucket_seq and --steps_per_dispatch>1: "
+                             "stably regroup each training epoch's shuffled "
+                             "batches by bucket width so every scan chunk "
+                             "is pure-width and slices to the per-batch "
+                             "bucket (chunk-level bucketing degenerates to "
+                             "the full pad at realistic tweet-length "
+                             "mixes). Per-example math stays exact; only "
+                             "the batch visit order within an epoch "
+                             "deviates (MIGRATION.md)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
     parser.add_argument("--mesh_model", type=int, default=1,
@@ -250,6 +260,8 @@ def seq_buckets_from(args):
     """``--bucket_seq`` string -> sorted tuple of bucket lengths (or None)."""
     raw = getattr(args, "bucket_seq", None)
     if not raw:
+        if getattr(args, "bucket_group", False):
+            raise SystemExit("--bucket_group requires --bucket_seq")
         return None
     try:
         buckets = tuple(sorted({int(x) for x in str(raw).split(",") if x}))

@@ -117,6 +117,18 @@ class PipelineConfig:
     # Batch composition and shuffle order are untouched, so trajectories
     # stay comparable to the unbucketed run up to the exactness above.
     seq_buckets: Optional[tuple] = None
+    # Bucket-GROUPED chunked dispatch (``--bucket_group``): stably regroup
+    # the epoch's (already shuffled) batches by bucket width so each
+    # (K, B, ...) scan chunk holds same-width batches and slices to the
+    # PER-BATCH bucket instead of the chunk-global max (which at realistic
+    # tweet-length mixes is ~always the full pad — one long tweet in K
+    # batches defeats chunk-level bucketing). Batch composition and each
+    # batch's contents are unchanged and per-example forward math stays
+    # exact (tests/test_bucketing.py); only the batch VISIT ORDER within an
+    # epoch deviates (documented in MIGRATION.md). Engages only for
+    # shuffled (training) epochs; eval keeps sequential order so artifact
+    # row order matches the reference contract.
+    bucket_group: bool = False
 
 
 class SplitPipeline:
@@ -179,19 +191,41 @@ class SplitPipeline:
                 out[key] = out[key][..., :length]
         return out
 
+    def _grouped_order(self, shuffle, rng) -> np.ndarray:
+        """Example order with whole batches stably regrouped by bucket width
+        (``cfg.bucket_group``). Derived from the GLOBAL mask before any
+        per-host row slicing, so every pod host computes the same order."""
+        order = np.arange(self.n)
+        if shuffle:
+            (rng or np.random.RandomState(0)).shuffle(order)
+        bs = self.cfg.batch_size
+        width = self.mask.shape[-1]
+        lens = self.mask.sum(axis=-1)
+
+        def bucket_of(start):
+            lmax = int(lens[order[start:start + bs]].max())
+            return self._bucket_for(lmax, width) or width
+
+        starts = sorted(range(0, self.n, bs), key=bucket_of)  # stable
+        return np.concatenate([order[s:s + bs] for s in starts])
+
     def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None,
-                local_rows=None, bucket=True) -> Iterator[Dict[str, np.ndarray]]:
+                local_rows=None, bucket=True,
+                order=None) -> Iterator[Dict[str, np.ndarray]]:
         """``local_rows=(start, stop)`` materialises only that row range of
         each global batch — the per-host slice on a multi-host pod
         (``MeshPlan.process_rows``). All hosts must pass identically-seeded
         ``rng`` so the global order agrees (the bucket length is likewise
         derived from the GLOBAL batch so every host compiles the same
-        shape)."""
+        shape). ``order`` overrides the example visit order (the
+        bucket-grouped chunkers precompute it; shuffle/rng are then
+        ignored so the RNG stream is consumed exactly once)."""
         if self.n == 0:
             return
-        order = np.arange(self.n)
-        if shuffle:
-            (rng or np.random.RandomState(0)).shuffle(order)
+        if order is None:
+            order = np.arange(self.n)
+            if shuffle:
+                (rng or np.random.RandomState(0)).shuffle(order)
         bs = self.cfg.batch_size
         for start in range(0, self.n, bs):
             idx = order[start:start + bs]
@@ -340,10 +374,34 @@ class SplitPipeline:
             out.update(host)
             return out
 
+        # bucket-grouped dispatch: regroup the (shuffled) epoch's batches by
+        # bucket width so each chunk is pure-width and slices to the
+        # per-batch bucket; a width change flushes the pending chunk
+        # (step_valid-padded) so no chunk mixes widths
+        grouped = bool(self.cfg.bucket_group and self.cfg.seq_buckets
+                       and self.mask is not None and shuffle)
+        order = self._grouped_order(shuffle, rng) if grouped else None
+        full_width = self.mask.shape[-1] if self.mask is not None else None
+
+        def width_of(b):
+            return (self._bucket_for(b["_max_len"], full_width) or full_width
+                    if grouped and "_max_len" in b else None)
+
         pending = None
         chunk: list = []
-        for batch in self.batches(shuffle=shuffle, rng=rng, bucket=False,
-                                  local_rows=local_rows):
+        cur_w = None
+        for batch in self.batches(shuffle=shuffle and order is None, rng=rng,
+                                  bucket=False, local_rows=local_rows,
+                                  order=order):
+            w = width_of(batch)
+            if chunk and grouped and w != cur_w:
+                nxt = stack(chunk)
+                chunk = []
+                nxt = (put_keep_ids(nxt[0]), nxt[1])
+                if pending is not None:
+                    yield pending
+                pending = nxt
+            cur_w = w
             chunk.append(batch)
             if len(chunk) == chunk_steps:
                 nxt = stack(chunk)
