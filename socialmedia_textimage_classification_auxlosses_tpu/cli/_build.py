@@ -103,16 +103,10 @@ def _maybe_pp(args, cfg, overrides, stack_pred=None):
         raise SystemExit(
             f"--pp_interleave needs microbatches >= stages "
             f"({num_micro} < {mesh_pipe}); raise --pp_microbatches")
-    if cfg.dropout and cfg.dropout > 0:
-        logger.warning(
-            "--mesh_pipe with dropout=%g: the pipelined stack derives "
-            "per-layer dropout keys by folding the GLOBAL layer index "
-            "(parallel/pipeline.py), which is a different stream than the "
-            "non-PP nn.scan(split_rngs) path — same distribution, but a "
-            "dropout>0 PP run is NOT step-for-step trajectory-comparable "
-            "to the sequential stack. Deterministic/eval outputs are "
-            "unaffected; set --dropout 0 for exact cross-stack comparisons",
-            cfg.dropout)
+    # dropout>0 under --mesh_pipe draws bit-identical masks to the
+    # sequential nn.scan stack: the runner receives precomputed per-layer
+    # per-site keys reproducing the flax scan split/counter stream
+    # (encoder.scan_exact_dropout_site_keys; tests/test_pp_dropout_exact.py)
     logger.info("pipeline parallelism: pipe=%d data=%d microbatches=%d "
                 "interleave=%d",
                 mesh_pipe, pp_mesh.shape["data"], num_micro, num_levels)

@@ -112,7 +112,8 @@ class Attention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, q_input, kv_input, key_mask=None, deterministic=True):
+    def __call__(self, q_input, kv_input, key_mask=None, deterministic=True,
+                 dropout_rng=None):
         cfg = self.cfg
         dt = cfg.jdtype
         b, lq, _ = q_input.shape
@@ -137,7 +138,7 @@ class Attention(nn.Module):
                 impl="fused_interpret" if cfg.attn_impl == "fused_interpret"
                 else "fused",
             )
-            return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+            return _dropout(out, cfg.dropout, deterministic, dropout_rng)
 
         def dense(name, x):
             kernel, bias = params[name]
@@ -154,37 +155,46 @@ class Attention(nn.Module):
         ctx = sdpa(q, k, v, key_mask=key_mask, impl=sdpa_impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, cfg.hidden)
         out = dense("out", ctx)
-        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        return _dropout(out, cfg.dropout, deterministic, dropout_rng)
 
 
 class Mlp(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, dropout_rng=None):
         cfg = self.cfg
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.jdtype, name="mlp_in")(x)
         h = cfg.activation(h)
         h = nn.Dense(cfg.hidden, dtype=cfg.jdtype, name="mlp_out")(h)
-        return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return _dropout(h, cfg.dropout, deterministic, dropout_rng)
 
 
 class EncoderLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, key_mask=None, deterministic=True):
+    def __call__(self, x, key_mask=None, deterministic=True, site_rngs=None):
+        """``site_rngs`` (pipeline-parallel path): explicit per-site dropout
+        keys {"attention": key, "mlp": key} overriding ``make_rng`` — the
+        PP runner computes them OUTSIDE (encoder.scan_exact_dropout_site_keys)
+        so ``--mesh_pipe`` draws bit-identical masks to the nn.scan stack."""
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name=name)
         attn = Attention(cfg, name="attention")
         mlp = Mlp(cfg, name="mlp")
+        r = site_rngs or {}
         if cfg.ln_style == "post":  # BERT family
-            x = ln("ln_attn")(x + attn(x, x, key_mask, deterministic))
-            x = ln("ln_mlp")(x + mlp(x, deterministic))
+            x = ln("ln_attn")(x + attn(x, x, key_mask, deterministic,
+                                       dropout_rng=r.get("attention")))
+            x = ln("ln_mlp")(x + mlp(x, deterministic,
+                                     dropout_rng=r.get("mlp")))
         else:  # pre-LN, ViT family
             h = ln("ln_attn")(x)
-            x = x + attn(h, h, key_mask, deterministic)
-            x = x + mlp(ln("ln_mlp")(x), deterministic)
+            x = x + attn(h, h, key_mask, deterministic,
+                         dropout_rng=r.get("attention"))
+            x = x + mlp(ln("ln_mlp")(x), deterministic,
+                        dropout_rng=r.get("mlp"))
         return x
 
 
@@ -200,6 +210,102 @@ class _ScanBody(nn.Module):
         return x, None
 
 
+# The dropout call sites inside one scanned layer, as
+# (site name, module path under the scan body, call slot within the body,
+#  make_rng calls per body at that path). Used by
+# scan_exact_dropout_site_keys to reproduce the
+# nn.scan(split_rngs={"dropout": True}) stream for the pipeline-parallel
+# runner.
+SCAN_DROPOUT_SITES = (
+    ("attention", ("layer", "attention", "Dropout_0"), 1, 1),
+    ("mlp", ("layer", "mlp", "Dropout_0"), 1, 1),
+)
+
+# LXMERT cross-modality scan body (models/lxmert.py::CrossModalityLayer
+# under _MaskedXScanBody): the shared cross_attention module fires twice
+# per iteration (lang->vis then vis->lang), so its counter advances by 2.
+LXMERT_CROSS_DROPOUT_SITES = (
+    ("cross_lang", ("layer", "cross_attention", "Dropout_0"), 1, 2),
+    ("cross_vis", ("layer", "cross_attention", "Dropout_0"), 2, 2),
+    ("lang_self", ("layer", "lang_self", "Dropout_0"), 1, 1),
+    ("vis_self", ("layer", "vis_self", "Dropout_0"), 1, 1),
+    ("lang_mlp", ("layer", "lang_mlp", "Dropout_0"), 1, 1),
+    ("vis_mlp", ("layer", "vis_mlp", "Dropout_0"), 1, 1),
+)
+
+
+def sliced_dropout(x, rate: float, dropout_rng):
+    """Rows ``[row0, row0 + x.shape[0])`` of the FULL-batch flax
+    ``nn.Dropout`` draw — bit-exact by construction (we draw the full mask
+    and slice it; threefry/rbg bits do not depend on sharding). The
+    pipeline-parallel runner processes microbatches (possibly of a
+    data-sharded batch), while the sequential stack draws one mask over the
+    whole batch: slicing the same full draw keeps PP training trajectories
+    bitwise-identical (tests/test_pp_dropout_exact.py).
+
+    ``dropout_rng``: (site key, row0, total_rows) — row0 may be traced,
+    total_rows is static.
+    """
+    key, row0, nrows = dropout_rng
+    keep_prob = 1.0 - rate
+    full = jax.random.bernoulli(key, p=keep_prob,
+                                shape=(nrows,) + tuple(x.shape[1:]))
+    mask = jax.lax.dynamic_slice_in_dim(full, row0, x.shape[0], axis=0)
+    return jax.lax.select(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+def _dropout(x, rate: float, deterministic, dropout_rng):
+    """nn.Dropout, or its slice-exact explicit-key equivalent when the PP
+    runner supplies ``(key, row0, total_rows)``."""
+    if dropout_rng is None:
+        return nn.Dropout(rate)(x, deterministic=deterministic)
+    if deterministic or rate <= 0.0:
+        return x
+    return sliced_dropout(x, rate, dropout_rng)
+
+
+def scan_exact_dropout_site_keys(lazy, suffix_base, layers,
+                                 sites=SCAN_DROPOUT_SITES):
+    """Per-(layer, site) dropout keys bit-identical to what flax's
+    ``nn.scan(split_rngs={"dropout": True})`` hands each iteration's
+    ``nn.Dropout`` (verified against flax 0.12 internals and enforced by
+    tests/test_pp_dropout_exact.py):
+
+    * the scan lift splits the RAW root key ``split(clone(root), L)`` while
+      the LazyRng path suffix is preserved as static metadata — each
+      iteration's body sees root_i with the full path suffix intact;
+    * ``make_rng`` materialises ``fold_in_static(root_i, suffix + (count,))``
+      in ONE hash. The count is a TRACE-TIME Python counter: flax's
+      axes_scan traces the scan body once for shapes and once for real, so
+      during the real trace the k-th call at a path folds the STATIC count
+      ``calls_per_body + k`` — the same for every iteration (per-layer
+      distinctness comes from root_i alone). Verified empirically against
+      flax 0.12 (text sites fold 2; LXMERT's twice-called cross_attention
+      folds 3 then 4).
+
+    Inside one pipeline shard_map trace the layer index is traced (stage =
+    ``lax.axis_index``) so nothing static can vary per stage anyway; we
+    fold everything here and the PP layer_fn injects the finished keys via
+    ``nn.Dropout(rng=...)``.
+
+    ``layers`` must equal the scan LENGTH (for LXMERT's padded stacks, the
+    padded length — pad slots also consume splits).
+    """
+    from flax.core.scope import LazyRng, _fold_in_static
+
+    if not isinstance(lazy, LazyRng):
+        lazy = LazyRng.create(lazy)
+    roots = jax.random.split(jax.random.clone(lazy.rng), layers)
+    base = tuple(lazy.suffix) + tuple(suffix_base)
+    return {
+        site: jnp.stack([
+            _fold_in_static(roots[i], base + path + (cpi + slot,))
+            for i in range(layers)
+        ])
+        for site, path, slot, cpi in sites
+    }
+
+
 class TransformerStack(nn.Module):
     cfg: EncoderConfig
 
@@ -208,8 +314,12 @@ class TransformerStack(nn.Module):
         if self.cfg.scan_layers:
             if self.cfg.pp_runner is not None and not self.is_initializing():
                 stacked = self.variables["params"]["layers"]["layer"]
-                rng = (self.make_rng("dropout")
-                       if not deterministic and self.cfg.dropout > 0 else None)
+                rng = None
+                if not deterministic and self.cfg.dropout > 0:
+                    # exact nn.scan dropout stream for the PP runner
+                    rng = scan_exact_dropout_site_keys(
+                        self.scope.rngs["dropout"], ("layers",),
+                        self.cfg.layers)
                 if key_mask is None:
                     key_mask = jnp.ones(x.shape[:2], jnp.int32)
                 return self.cfg.pp_runner(stacked, x, key_mask, rng)

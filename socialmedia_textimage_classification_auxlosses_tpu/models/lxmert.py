@@ -79,23 +79,37 @@ class CrossModalityLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, lang, vis, lang_mask, vis_mask, deterministic=True):
+    def __call__(self, lang, vis, lang_mask, vis_mask, deterministic=True,
+                 site_rngs=None):
+        """``site_rngs`` (pipeline-parallel path): explicit per-site dropout
+        keys overriding ``make_rng`` (see encoder.EncoderLayer.site_rngs);
+        the shared cross_attention module is called twice per layer, so it
+        takes two keys ("cross_lang"/"cross_vis")."""
         cfg = self.cfg
+        r = site_rngs or {}
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name=name)
         cross = Attention(cfg, name="cross_attention")
         # bidirectional cross-attention with shared weights, INCLUDING the
         # output LayerNorm (LXMERT applies one BertAttOutput both ways)
         ln_cross = ln("ln_cross")
-        lang2 = ln_cross(lang + cross(lang, vis, vis_mask, deterministic))
-        vis2 = ln_cross(vis + cross(vis, lang, lang_mask, deterministic))
+        lang2 = ln_cross(lang + cross(lang, vis, vis_mask, deterministic,
+                                      dropout_rng=r.get("cross_lang")))
+        vis2 = ln_cross(vis + cross(vis, lang, lang_mask, deterministic,
+                                    dropout_rng=r.get("cross_vis")))
         # modality-private self-attention
         lang_self = Attention(cfg, name="lang_self")
         vis_self = Attention(cfg, name="vis_self")
-        lang3 = ln("ln_self_l")(lang2 + lang_self(lang2, lang2, lang_mask, deterministic))
-        vis3 = ln("ln_self_v")(vis2 + vis_self(vis2, vis2, vis_mask, deterministic))
+        lang3 = ln("ln_self_l")(lang2 + lang_self(
+            lang2, lang2, lang_mask, deterministic,
+            dropout_rng=r.get("lang_self")))
+        vis3 = ln("ln_self_v")(vis2 + vis_self(
+            vis2, vis2, vis_mask, deterministic,
+            dropout_rng=r.get("vis_self")))
         # FFNs
-        lang4 = ln("ln_mlp_l")(lang3 + Mlp(cfg, name="lang_mlp")(lang3, deterministic))
-        vis4 = ln("ln_mlp_v")(vis3 + Mlp(cfg, name="vis_mlp")(vis3, deterministic))
+        lang4 = ln("ln_mlp_l")(lang3 + Mlp(cfg, name="lang_mlp")(
+            lang3, deterministic, dropout_rng=r.get("lang_mlp")))
+        vis4 = ln("ln_mlp_v")(vis3 + Mlp(cfg, name="vis_mlp")(
+            vis3, deterministic, dropout_rng=r.get("vis_mlp")))
         return lang4, vis4
 
 
@@ -165,10 +179,20 @@ class LxmertBackbone(nn.Module):
             args[0], jnp.arange(n_pad), *args[1:])
         return carry
 
-    def _dropout_rng(self, deterministic):
+    def _segment_dropout_keys(self, deterministic, scan_name, n_real,
+                              sites=None):
+        """Stacked per-(layer, site) dropout keys for one PP segment,
+        bit-identical to the sequential nn.scan stream
+        (encoder.scan_exact_dropout_site_keys; length = the PADDED scan
+        length, since pad slots consume splits and counter ticks too)."""
         if deterministic or self.cfg.dropout <= 0:
             return None
-        return self.make_rng("dropout")
+        from .encoder import SCAN_DROPOUT_SITES, scan_exact_dropout_site_keys
+
+        return scan_exact_dropout_site_keys(
+            self.scope.rngs["dropout"], (scan_name,),
+            pad_layers(n_real, self.cfg.pipe_stages),
+            sites or SCAN_DROPOUT_SITES)
 
     @nn.compact
     def __call__(self, ids, attention_mask, token_type_ids, visual_feats,
@@ -188,15 +212,22 @@ class LxmertBackbone(nn.Module):
         cfg = self.cfg
         if cfg.scan_layers and cfg.pp_runners is not None \
                 and not self.is_initializing():
+            from .encoder import LXMERT_CROSS_DROPOUT_SITES
+
             run = cfg.pp_runners
             p = self.variables["params"]
             lang = run["lang"](p["lang_layers"]["layer"], lang,
-                               attention_mask, self._dropout_rng(deterministic))
+                               attention_mask,
+                               self._segment_dropout_keys(
+                                   deterministic, "lang_layers", cfg.l_layers))
             vis = run["vis"](p["vis_layers"]["layer"], vis, vis_mask,
-                             self._dropout_rng(deterministic))
+                             self._segment_dropout_keys(
+                                 deterministic, "vis_layers", cfg.r_layers))
             lang, vis = run["x"](p["x_layers"]["layer"], lang, vis,
                                  attention_mask, vis_mask,
-                                 self._dropout_rng(deterministic))
+                                 self._segment_dropout_keys(
+                                     deterministic, "x_layers", cfg.x_layers,
+                                     LXMERT_CROSS_DROPOUT_SITES))
             return lang, vis
         if cfg.scan_layers:
             lang = self._scan(_MaskedScanBody, "lang_layers", lcfg,

@@ -43,13 +43,16 @@ def _stage_apply(layer_fn: Callable, local_params, x, key_mask, rng,
                  axis_name):
     """Apply this stage's L/S stacked layers sequentially (lax.scan).
 
-    With ``rng`` (training dropout), each layer gets a key folded with its
-    GLOBAL layer index (stage offset + local position) so dropout draws are
-    deterministic and distinct per layer across stages. This derivation is
-    NOT the one flax ``nn.scan(split_rngs={'dropout': True})`` uses, so a
-    dropout>0 PP run is not trajectory-comparable to the sequential stack
-    (documented at the ``--mesh_pipe`` CLI flag); deterministic-mode parity
-    is exact and test-enforced."""
+    With ``rng`` (training dropout), ``rng`` is a dropout CONTEXT
+    ``{"sites": {site: [L, ...] stacked keys}, "row0": traced row offset,
+    "nrows": static global batch rows}``: the site keys are precomputed to
+    be bit-identical to flax ``nn.scan(split_rngs={'dropout': True})``
+    (``encoder.scan_exact_dropout_site_keys``), each layer slices its
+    GLOBAL index (stage offset + local position), and row0/nrows let the
+    layer draw the FULL-batch dropout mask and slice its microbatch's rows
+    — so a dropout>0 PP run draws the SAME masks as the sequential scan
+    stack (tests/test_pp_dropout_exact.py). ``layer_fn`` receives
+    ``{"sites": {site: key}, "row0": ..., "nrows": ...}`` per layer."""
     n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
     if rng is None:
         def body(h, p_one):
@@ -62,7 +65,8 @@ def _stage_apply(layer_fn: Callable, local_params, x, key_mask, rng,
 
     def body(h, xs):
         p_one, i = xs
-        r = jax.random.fold_in(rng, offset + i)
+        r = dict(rng, sites=jax.tree_util.tree_map(
+            lambda a: a[offset + i], rng["sites"]))
         return layer_fn(p_one, h, key_mask, r), None
 
     out, _ = jax.lax.scan(body, x, (local_params, jnp.arange(n_local)))
@@ -85,7 +89,8 @@ def interleave_layer_order(n_layers: int, nstages: int, num_levels: int):
 
 def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
                                 num_microbatches: int, num_levels: int,
-                                axis_name: str):
+                                axis_name: str, data_axis=None,
+                                data_size: int = 1):
     """Circular (interleaved) pipeline for one device's shard — the
     scaling-book bubble reducer: each stage holds ``num_levels``
     non-adjacent layer chunks and every microbatch loops through the ring
@@ -96,9 +101,10 @@ def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
     needs ``num_microbatches >= nstages`` (write-before-read in the bank).
 
     Local params: leading axis = num_levels * layers_per_chunk, level-major
-    (see interleave_layer_order). Requires rng=None or a key; dropout keys
-    fold the SEQUENTIAL global layer index so trajectories match the
-    non-interleaved pipeline exactly."""
+    (see interleave_layer_order). ``rng`` is None or the stacked per-site
+    dropout keys in ORIGINAL (sequential) layer order — _chunk_apply slices
+    them at each chunk's sequential global offset, so trajectories match
+    the non-interleaved pipeline (and the nn.scan stack) exactly."""
     s = jax.lax.axis_index(axis_name)
     nstages = jax.lax.psum(1, axis_name)
     m = num_microbatches
@@ -120,6 +126,7 @@ def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
 
     fwd_perm = [(i, (i + 1) % nstages) for i in range(nstages)]
     nticks = v * m + nstages - 1
+    row0_base, nrows = _row_ctx(data_axis, data_size, b)
 
     def tick(carry, t):
         act, act_mask, outputs, wrap = carry
@@ -148,7 +155,11 @@ def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
                                                    keepdims=False), chunks)
         # sequential global layer offset of (level, stage) chunk
         offset = (level * nstages + s) * npl
-        out = _chunk_apply(layer_fn, chunk, inp, km, rng, offset)
+        ctx = None
+        if rng is not None:
+            ctx = {"sites": rng, "row0": row0_base + t0 * mb,
+                   "nrows": nrows}
+        out = _chunk_apply(layer_fn, chunk, inp, km, ctx, offset)
         # the last stage banks final-level items
         jj = t - (nstages - 1)
         bank = jnp.logical_and(s == nstages - 1,
@@ -181,8 +192,9 @@ def _interleaved_pipeline_apply(layer_fn, stacked_params, x, key_mask, rng, *,
 
 
 def _chunk_apply(layer_fn, chunk_params, x, key_mask, rng, global_offset):
-    """Apply one contiguous chunk of layers; dropout keys fold the
-    SEQUENTIAL global layer index (global_offset + position)."""
+    """Apply one contiguous chunk of layers; each layer slices its
+    SEQUENTIAL global index (global_offset + position) out of the stacked
+    precomputed per-layer dropout keys (see _stage_apply)."""
     n = jax.tree_util.tree_leaves(chunk_params)[0].shape[0]
     if rng is None:
         def body(h, p_one):
@@ -193,15 +205,27 @@ def _chunk_apply(layer_fn, chunk_params, x, key_mask, rng, global_offset):
 
     def body(h, xs):
         p_one, i = xs
-        r = jax.random.fold_in(rng, global_offset + i)
+        r = dict(rng, sites=jax.tree_util.tree_map(
+            lambda a: a[global_offset + i], rng["sites"]))
         return layer_fn(p_one, h, key_mask, r), None
 
     out, _ = jax.lax.scan(body, x, (chunk_params, jnp.arange(n)))
     return out
 
 
+def _row_ctx(data_axis, data_size, b):
+    """(row0_base, nrows_global) for slice-exact dropout: this shard's row
+    offset within the GLOBAL logical batch, and the global row count (pjit
+    guarantees the sequential stack's one logical mask regardless of
+    sharding, so PP slices the same full draw)."""
+    if data_axis is None or data_size <= 1:
+        return 0, b * max(data_size, 1)
+    return jax.lax.axis_index(data_axis) * b, b * data_size
+
+
 def pipeline_apply(layer_fn, stacked_params, x, key_mask, rng=None, *,
-                   num_microbatches: int, axis_name: str = "pipe"):
+                   num_microbatches: int, axis_name: str = "pipe",
+                   data_axis=None, data_size: int = 1):
     """GPipe forward for one device's shard — call INSIDE shard_map.
 
     ``layer_fn(params_one_layer, h, key_mask, rng) -> h`` applies a single
@@ -225,6 +249,7 @@ def pipeline_apply(layer_fn, stacked_params, x, key_mask, rng=None, *,
 
     fwd_perm = [(i, (i + 1) % nstages) for i in range(nstages)]
     nticks = m + nstages - 1
+    row0_base, nrows = _row_ctx(data_axis, data_size, b)
 
     def tick(carry, t):
         act, act_mask, outputs = carry
@@ -234,7 +259,13 @@ def pipeline_apply(layer_fn, stacked_params, x, key_mask, rng=None, *,
         t_in = jnp.clip(t, 0, m - 1)
         inp = jnp.where(s == 0, micro[t_in], act)
         km = jnp.where(s == 0, mask_micro[t_in], act_mask)
-        out = _stage_apply(layer_fn, stacked_params, inp, km, rng, axis_name)
+        ctx = None
+        if rng is not None:
+            # stage s is processing microbatch t - s (clamped)
+            mbi = jnp.clip(t - s, 0, m - 1)
+            ctx = {"sites": rng, "row0": row0_base + mbi * mb,
+                   "nrows": nrows}
+        out = _stage_apply(layer_fn, stacked_params, inp, km, ctx, axis_name)
         # the last stage banks microbatch t - (S-1)
         j = t - (nstages - 1)
         bank = jnp.logical_and(s == nstages - 1, j >= 0)
@@ -298,15 +329,18 @@ def make_pipelined_stack(
             f"({num_microbatches} < {nstages}): the wrap bank at stage 0 "
             "must be written before its next-level read")
 
+    dsize = mesh.shape[dspec] if dspec else 1
+
     def _apply(stacked_params, x, key_mask, rng):
         if num_levels > 1:
             return _interleaved_pipeline_apply(
                 layer_fn, stacked_params, x, key_mask, rng,
                 num_microbatches=num_microbatches, num_levels=num_levels,
-                axis_name=pipe_axis)
+                axis_name=pipe_axis, data_axis=dspec, data_size=dsize)
         return pipeline_apply(
             layer_fn, stacked_params, x, key_mask, rng,
-            num_microbatches=num_microbatches, axis_name=pipe_axis)
+            num_microbatches=num_microbatches, axis_name=pipe_axis,
+            data_axis=dspec, data_size=dsize)
 
     def run(stacked_params, x, key_mask=None, rng=None):
         n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -319,6 +353,9 @@ def make_pipelined_stack(
                 interleave_layer_order(n_layers, nstages, num_levels))
             stacked_params = jax.tree_util.tree_map(
                 lambda p: jnp.take(p, perm, axis=0), stacked_params)
+            # NOTE: the stacked per-layer dropout keys are NOT permuted —
+            # _chunk_apply slices them at the SEQUENTIAL global offset of
+            # each (level, stage) chunk, which is already original-order
         if key_mask is None:
             key_mask = jnp.ones(x.shape[:2], jnp.int32)
         if rng is None:
@@ -342,7 +379,8 @@ def make_pipelined_stack(
             inner_rng, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: param_specs,
                                              stacked_params),
-                      x_spec, x_spec, P()),
+                      x_spec, x_spec,
+                      jax.tree_util.tree_map(lambda _: P(), rng)),
             out_specs=x_spec,
             check_rep=False,
         )

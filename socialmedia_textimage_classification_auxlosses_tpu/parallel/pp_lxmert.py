@@ -53,9 +53,14 @@ def make_encoder_segment_runner(cfg, mesh: Mesh, num_microbatches: int,
     vis stacks (``LxmertConfig.pp_runners['lang'/'vis']``)."""
 
     def layer_fn(p_one, h, km, rng):
-        rngs = None if rng is None else {"dropout": rng}
+        # rng: dropout context (see pp_text.make_stack_runner) — per-site
+        # keys for THIS layer plus the microbatch's row window, injected as
+        # explicit (key, row0, nrows) for slice-exact nn.scan-parity masks
+        site_rngs = None if rng is None else {
+            name: (k, rng["row0"], rng["nrows"])
+            for name, k in rng["sites"].items()}
         out = EncoderLayer(cfg).apply({"params": p_one["p"]}, h, km,
-                                      rng is None, rngs=rngs)
+                                      rng is None, site_rngs=site_rngs)
         return jnp.where(p_one["active"], out, h)
 
     run = make_pipelined_stack(layer_fn, mesh,
@@ -82,9 +87,12 @@ def make_cross_segment_runner(cfg, mesh: Mesh, num_microbatches: int,
         lang_len = h.shape[1] - vis_len
         lang, vis = h[:, :lang_len], h[:, lang_len:]
         lm, vm = km[:, :lang_len], km[:, lang_len:]
-        rngs = None if rng is None else {"dropout": rng}
+        site_rngs = None if rng is None else {
+            name: (k, rng["row0"], rng["nrows"])
+            for name, k in rng["sites"].items()}
         l2, v2 = CrossModalityLayer(cfg).apply(
-            {"params": p_one["p"]}, lang, vis, lm, vm, rng is None, rngs=rngs)
+            {"params": p_one["p"]}, lang, vis, lm, vm, rng is None,
+            site_rngs=site_rngs)
         out = jnp.concatenate([l2, v2], axis=1)
         return jnp.where(p_one["active"], out, h)
 

@@ -37,9 +37,16 @@ def make_stack_runner(cfg, mesh: Mesh, num_microbatches: int,
                          "(stacked layer params)")
 
     def layer_fn(p_one, h, km, rng):
-        rngs = None if rng is None else {"dropout": rng}
+        # rng: dropout context {"sites": per-site keys for THIS layer
+        # (sliced from encoder.scan_exact_dropout_site_keys stacks),
+        # "row0"/"nrows": this microbatch's rows within the global batch}.
+        # Injected as explicit (key, row0, nrows) per site — slice-exact
+        # masks bit-identical to the nn.scan(split_rngs) stack.
+        site_rngs = None if rng is None else {
+            name: (k, rng["row0"], rng["nrows"])
+            for name, k in rng["sites"].items()}
         return EncoderLayer(cfg).apply({"params": p_one}, h, km, rng is None,
-                                       rngs=rngs)
+                                       site_rngs=site_rngs)
 
     run = make_pipelined_stack(layer_fn, mesh,
                                num_microbatches=num_microbatches,

