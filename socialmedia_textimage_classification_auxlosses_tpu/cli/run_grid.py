@@ -86,6 +86,17 @@ def parse_args(argv=None):
                         help="which epoch's test metrics represent a run")
     parser.add_argument("--metrics", type=str, default="f1_macro,f1_weighted",
                         help="metrics to emit one markdown table each for")
+    parser.add_argument("--seed_backend", default="sequential",
+                        choices=["sequential", "vmap"],
+                        help="vmap: execute each mm_late config's seeds "
+                             "dimension as ONE vmapped program "
+                             "(cli/run_seed_sweep with independent per-seed "
+                             "data streams — same artifact names/layout, "
+                             "~N_seeds x less wall-clock; metrics match "
+                             "sequential runs within the sweep's vmap "
+                             "float tolerance, tests/test_ensemble.py / "
+                             "test_grid.py. Other families and unsupported "
+                             "flag sets fall back to sequential runs)")
     parser.add_argument("--force", action="store_true",
                         help="re-run even if the run's metrics CSV exists")
     parser.add_argument("--dry_run", action="store_true",
@@ -214,6 +225,76 @@ def execute(run: Run) -> str:
     return "ok"
 
 
+def _argv_without_seed(argv):
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok == "--seed":
+            skip = True
+            continue
+        out.append(tok)
+    return out
+
+
+def execute_vmap(pending, args) -> int:
+    """--seed_backend vmap: run each mm_late config's pending seeds as ONE
+    vmapped seed sweep (cli/run_seed_sweep — independent per-seed data
+    streams, standard per-seed artifact names, so resume/aggregation are
+    unchanged). Groups the sweep backend cannot take (other families,
+    single seeds, flag sets its parser rejects, or artifact-name drift)
+    fall back to sequential runs. Returns the failure count."""
+    from . import run_seed_sweep
+
+    failures = 0
+    groups: dict = {}
+    for run in pending:
+        key = (run.family, run.model, run.task, run.aux,
+               tuple(_argv_without_seed(run.argv)))
+        groups.setdefault(key, []).append(run)
+
+    def run_sequentially(runs):
+        nonlocal failures
+        for run in runs:
+            logger.info("RUN (sequential) %s", run)
+            if execute(run) != "ok":
+                failures += 1
+
+    for key, runs in groups.items():
+        if runs[0].family != "mm_late" or len(runs) < 2:
+            run_sequentially(runs)
+            continue
+        seeds = [r.seed for r in runs]
+        argv = _argv_without_seed(runs[0].argv) + [
+            "--seeds", ",".join(map(str, seeds))]
+        logger.info("RUN (vmap sweep, %d seeds %s): %s",
+                    len(seeds), seeds, runs[0])
+        try:
+            run_seed_sweep.main(argv)
+        except SystemExit as e:
+            if e.code not in (None, 0):
+                logger.warning("seed-sweep backend rejected this flag set "
+                               "(exit %s); falling back to sequential",
+                               e.code)
+                run_sequentially(runs)
+                continue
+        except Exception:
+            logger.error("vmap sweep FAILED: %s\n%s", runs[0],
+                         traceback.format_exc())
+            run_sequentially(runs)
+            continue
+        # verify the sweep landed every artifact where the grid expects it
+        stragglers = [r for r in runs
+                      if not (os.path.isfile(r.test_csv)
+                              and os.path.isfile(r.val_csv))]
+        if stragglers:
+            logger.warning("vmap sweep left %d artifact sets missing; "
+                           "running those sequentially", len(stragglers))
+            run_sequentially(stragglers)
+    return failures
+
+
 def _read_metric_table(path):
     """metrics CSV (metric x epoch, trainer contract) -> DataFrame indexed
     by metric with epoch-N columns."""
@@ -298,16 +379,22 @@ def main(argv=None):
 
     failures = 0
     if not args.aggregate_only:
+        pending = []
         for i, run in enumerate(plan):
             done = os.path.isfile(run.test_csv) and os.path.isfile(run.val_csv)
             if done and not args.force:
                 logger.info("[%d/%d] skip (artifacts exist): %s",
                             i + 1, len(plan), run)
                 continue
-            logger.info("[%d/%d] RUN %s", i + 1, len(plan), run)
-            status = execute(run)
-            if status != "ok":
-                failures += 1
+            pending.append(run)
+        if args.seed_backend == "vmap":
+            failures = execute_vmap(pending, args)
+        else:
+            for i, run in enumerate(pending):
+                logger.info("[%d/%d] RUN %s", i + 1, len(pending), run)
+                status = execute(run)
+                if status != "ok":
+                    failures += 1
 
     os.makedirs(out_dir, exist_ok=True)
     long, tables = aggregate(plan, args)

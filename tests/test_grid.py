@@ -182,6 +182,56 @@ def test_grid_end_to_end_fixture_scale(task3):
     assert before == after  # nothing re-ran
 
 
+def test_grid_vmap_backend_tables_identical(task3):
+    """--seed_backend vmap (VERDICT r4 item 5): each mm_late config's seeds
+    run as ONE vmapped sweep with independent per-seed data streams; the
+    resulting grid tables must be identical to the sequential backend's
+    (same artifacts, same aggregation)."""
+    base = ["--families", "mm_late", "--mm_late", "bert-vit-concat",
+            "--tasks", "3", "--seeds", "30,40", "--aux", "none",
+            "--epochs", "1"]
+    out_seq = str(task3 / "results" / "grid_seq") + "/"
+    rc = run_grid.main(base + ["--out", out_seq, "--"] + FAST)
+    assert rc == 0
+    seq_runs = pd.read_csv(out_seq + "grid_runs.csv")
+    assert (seq_runs.status == "ok").all()
+
+    # wipe the per-run artifacts so the vmap backend really re-runs them
+    plan = run_grid.build_plan(run_grid.parse_args(
+        base + ["--out", out_seq, "--"] + FAST))
+    for r in plan:
+        os.remove(r.val_csv)
+        os.remove(r.test_csv)
+
+    out_vm = str(task3 / "results" / "grid_vmap") + "/"
+    rc = run_grid.main(base + ["--seed_backend", "vmap",
+                               "--out", out_vm, "--"] + FAST)
+    assert rc == 0
+    vm_runs = pd.read_csv(out_vm + "grid_runs.csv")
+    assert (vm_runs.status == "ok").all()
+    key = ["family", "model", "task", "aux", "seed"]
+    a = seq_runs.sort_values(key).reset_index(drop=True)
+    b = vm_runs.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    # float columns compare at the sweep's adjudicated vmap tolerance
+    # (test_ensemble.py: vmapped batched matmuls legally reassociate
+    # reductions; RNG draws are bitwise-equal, floats are not)
+    for col in a.columns:
+        if a[col].dtype.kind == "f":
+            np.testing.assert_allclose(a[col].values, b[col].values,
+                                       rtol=5e-3, atol=1e-4, err_msg=col)
+        else:
+            assert list(a[col]) == list(b[col]), col
+    for metric in ("f1_macro", "f1_weighted"):
+        sa = pd.read_csv(out_seq + f"grid_table_{metric}.csv")
+        sb = pd.read_csv(out_vm + f"grid_table_{metric}.csv")
+        num = sa.select_dtypes("number")
+        np.testing.assert_allclose(
+            num.fillna(-1).to_numpy(float),
+            sb[num.columns].fillna(-1).to_numpy(float),
+            rtol=5e-3, atol=1e-4, err_msg=metric)
+
+
 def test_grid_dry_run_prints_plan(capsys):
     rc = run_grid.main([
         "--families", "mm_early", "--mm_early", "vilt,lxmert",
