@@ -146,6 +146,18 @@ def build_parser():
     parser.add_argument("--quantize", type=str, default=None, choices=["w8"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8473)
+    parser.add_argument("--workers", type=int, default=1,
+                        help="SO_REUSEPORT multi-process serving: N full "
+                             "service processes bind the SAME port and the "
+                             "kernel load-balances connections across them "
+                             "— for multi-core hosts where one process's "
+                             "GIL bounds handler-side decode/resize "
+                             "(BASELINE.md round-4/5 burst analysis). Each "
+                             "worker builds its own model/device context; "
+                             "on a single shared accelerator keep "
+                             "workers=1. Requires an explicit --port")
+    parser.add_argument("--_reuse_port", action="store_true",
+                        help=argparse.SUPPRESS)
     parser.add_argument("--image_root", type=str, default=None,
                         help="directory that request image_path values are "
                              "confined to; image_path requests are REFUSED "
@@ -836,7 +848,9 @@ def make_server(args, batcher: MicroBatcher, meta, extra_services=None):
 
         def do_GET(self):
             if self.path == "/healthz":
-                health = {"status": "ok", **meta, **batcher.stats()}
+                # pid identifies the worker under --workers (SO_REUSEPORT)
+                health = {"status": "ok", "pid": os.getpid(), **meta,
+                          **batcher.stats()}
                 if extra_services:
                     health["models"] = {
                         n: {**m, **b.stats()}
@@ -910,14 +924,80 @@ def make_server(args, batcher: MicroBatcher, meta, extra_services=None):
         # bursty clients (observed: ECONNRESET at 16 simultaneous connects
         # on a loaded 1-core host) — size it to the batching design instead
         request_queue_size = 128
+        # --workers: every worker binds the same port with SO_REUSEPORT and
+        # the kernel load-balances accepted connections (socketserver wires
+        # the sockopt from this attr, py>=3.11)
+        allow_reuse_port = bool(getattr(args, "_reuse_port", False))
 
     return Server((args.host, args.port), Handler)
+
+
+def _strip_workers_flag(argv):
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok == "--workers":
+            skip = True
+            continue
+        if tok.startswith("--workers="):
+            continue
+        out.append(tok)
+    return out
+
+
+def _supervise_workers(args, argv):
+    """--workers N: spawn N full serving processes sharing the port via
+    SO_REUSEPORT; this process is a pure supervisor (forwards
+    SIGTERM/SIGINT, reaps children, exits with the worst child rc)."""
+    import signal
+    import subprocess
+    import sys
+
+    if args.port == 0:
+        raise SystemExit("--workers>1 requires an explicit --port "
+                         "(SO_REUSEPORT workers must share one port)")
+    base = list(argv) if argv is not None else sys.argv[1:]
+    child_argv = _strip_workers_flag(base) + ["--workers", "1",
+                                              "--_reuse_port"]
+    module = __package__ + ".serve"
+    procs = []
+    for i in range(args.workers):
+        p = subprocess.Popen([sys.executable, "-m", module] + child_argv)
+        logger.info("worker %d/%d pid=%d", i + 1, args.workers, p.pid)
+        procs.append(p)
+
+    def _forward(signum, frame):
+        logger.info("supervisor: forwarding signal %d to %d workers",
+                    signum, len(procs))
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signum)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, _forward)
+        except ValueError:
+            logger.warning("not on the main thread: supervisor signal "
+                           "forwarding disabled")
+            break
+    rc = 0
+    for p in procs:
+        try:
+            rc = max(rc, abs(p.wait()))
+        except KeyboardInterrupt:
+            _forward(signal.SIGINT, None)
+            rc = max(rc, abs(p.wait()))
+    return rc
 
 
 def main(argv=None):
     import signal
 
     args = parse_args(argv)
+    if args.workers > 1:
+        return _supervise_workers(args, argv)
     enable_compile_cache()
     seed_everything(args.seed, args=args)
     state = {"server": None, "stopping": False}
@@ -989,4 +1069,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -64,12 +64,14 @@ def main():
                          "same window and report timing + output agreement: "
                          "fraction of the final boxes that IoU-match the "
                          "full-budget output, and mean feature cosine over "
-                         "the matched pairs. Random weights, so this is the "
+                         "the IoU>=0.9 matched pairs. Random weights, so this is the "
                          "budget's MECHANICAL sensitivity (how much the "
                          "selected ROI set moves), not a recall number — "
                          "recall needs the real VG checkpoint "
                          "(cli/verify_imports.py when it arrives)")
     args = ap.parse_args()
+    if args.agree and args.pre_topk is None and args.post_topk is None:
+        ap.error("--agree needs --pre_topk and/or --post_topk")
 
     import numpy as np
 
@@ -121,6 +123,7 @@ def main():
               f"batch {args.batch} ({best / args.batch * 1e3:.0f} ms/image, "
               f"{mb / best:.0f} MB/s)")
 
+    fused_out = None
     for fused in ([True, False] if args.staged else [True]):
         label = "fused" if fused else "staged"
         t0 = time.perf_counter()
@@ -136,12 +139,12 @@ def main():
             print(f"# {label} rep {r}: {dt / args.batch * 1e3:.0f} ms/image",
                   file=sys.stderr)
         assert out[0]["roi_features"].shape[0] == det.cfg.max_detections
+        if fused:
+            fused_out = out  # --agree compares fused-vs-fused, never mixed
         print(f"{label}: {best * 1e3:.0f} ms/image warm "
               f"({1.0 / best:.2f} images/s) at {h}x{w}, batch {args.batch}")
 
     if args.agree:
-        if args.pre_topk is None and args.post_topk is None:
-            ap.error("--agree needs --pre_topk and/or --post_topk")
         # same weights, published budget — only the proposal/ROI budgets
         # differ, so any output delta is the budget cut itself
         full_cfg = dataclasses.replace(base_cfg, dtype=args.dtype)
@@ -171,30 +174,37 @@ def main():
 
         match50 = match90 = total = 0
         cosines = []
-        for cut, full in zip(out, ref_out):
-            m = iou(full["normalized_boxes"], cut["normalized_boxes"])
+        for cut, full in zip(fused_out, ref_out):
+            # degenerate images pad to max_detections with zero-area boxes
+            # (frcnn.py); they are not real detections — drop them from the
+            # denominator AND the matcher
+            fb_ = full["normalized_boxes"]
+            area = (fb_[:, 2] - fb_[:, 0]) * (fb_[:, 3] - fb_[:, 1])
+            full_boxes = fb_[area > 0]
+            full_feats = full["roi_features"][area > 0]
+            m = iou(full_boxes, cut["normalized_boxes"])
             # greedy one-to-one: best pair first, remove its row+col
             mm = m.copy()
-            while mm.size and mm.max() > 0.5:
+            while mm.size and mm.max() >= 0.5:
                 i, j = np.unravel_index(np.argmax(mm), mm.shape)
                 best_iou = mm[i, j]
                 match50 += 1
                 if best_iou >= 0.9:
                     match90 += 1
-                    fa = full["roi_features"][i]
+                    fa = full_feats[i]
                     fb = cut["roi_features"][j]
                     denom = np.linalg.norm(fa) * np.linalg.norm(fb)
                     if denom > 0:
                         cosines.append(float(fa @ fb / denom))
                 mm[i, :] = 0
                 mm[:, j] = 0
-            total += full["normalized_boxes"].shape[0]
+            total += full_boxes.shape[0]
         cos = float(np.mean(cosines)) if cosines else float("nan")
         print(f"agreement vs full budget (random weights, mechanical "
               f"sensitivity): IoU>=0.5 match {match50}/{total} "
-              f"({match50 / total:.1%}), IoU>=0.9 match {match90}/{total} "
-              f"({match90 / total:.1%}), matched-ROI feature cosine "
-              f"{cos:.4f}")
+              f"({match50 / max(total, 1):.1%}), IoU>=0.9 match "
+              f"{match90}/{max(total, 1)} ({match90 / max(total, 1):.1%}), "
+              f"feature cosine over IoU>=0.9 pairs {cos:.4f}")
 
     if args.pipeline:
         if args.reps < 1:

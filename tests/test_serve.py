@@ -666,3 +666,77 @@ def test_shared_detector_across_models():
     out1 = p1([("shared detector", img)])
     out2 = p2([("shared detector", img)])
     assert len(out1[0]["probs"]) == 3 and len(out2[0]["probs"]) == 3
+
+
+def test_workers_reuseport_smoke(tmp_path):
+    """--workers N (SO_REUSEPORT multi-process serving, VERDICT r4 item 3):
+    the supervisor spawns N full service processes on ONE port, requests
+    round-trip, and SIGTERM tears the whole tree down cleanly."""
+    import re
+    import signal
+    import socket
+    import subprocess
+    import time as _time
+
+    from fixtures import make_task_fixture
+
+    make_task_fixture(tmp_path / "data", task=3)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               SMTC_DATA_PATH=str(tmp_path / "data") + os.sep,
+               SMTC_RESULTS_PATH=str(tmp_path / "results") + os.sep)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    with socket.socket() as s:  # free port (small race, fine for a test)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "socialmedia_textimage_classification_auxlosses_tpu.cli.serve",
+         "--task", "3", "--txt_model_name", "bert", "--img_model_name",
+         "vit", "--fusion_name", "attention", "--arch", "tiny",
+         "--random_init", "--dtype", "float32", "--attn_impl", "jnp",
+         "--max_batch", "2", "--batch_window_ms", "10",
+         "--workers", "2", "--port", str(port)],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    try:
+        deadline = _time.monotonic() + 420
+        pids = set()
+        up = False
+        while _time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    h = json.loads(r.read())
+                    pids.add(h["pid"])
+                    up = True
+                    break
+            except Exception:
+                _time.sleep(2.0)
+        assert up, "no worker came up within the deadline"
+        # several fresh connections: the kernel may balance across workers
+        for _ in range(12):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+                pids.add(json.loads(r.read())["pid"])
+        res = _post(port, {"text": "multi-process smoke"})
+        assert "probs" in res and len(res["probs"]) == 3
+        assert pids and proc.pid not in pids  # workers, not the supervisor
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+        assert rc == 0, rc
+        err = proc.stderr.read()
+        worker_pids = {int(m) for m in re.findall(r"worker \d+/2 pid=(\d+)",
+                                                  err)}
+        assert len(worker_pids) == 2, err[-2000:]
+        assert pids <= worker_pids
+        for wp in worker_pids:  # both workers reaped with the supervisor
+            assert not os.path.exists(f"/proc/{wp}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
