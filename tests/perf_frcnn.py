@@ -87,18 +87,61 @@ def main():
         frcnn as FR,
     )
 
+    def make_blob_image(rng, h, w):
+        """Structured synthetic photo: smooth background + random soft
+        rectangles + mild noise. Uniform noise gives the conv trunk no
+        edges; with random weights the regression heads then emit huge
+        deltas whose boxes clip to the canvas border (zero area) and the
+        --agree matcher sees an empty candidate set."""
+        img = np.zeros((h, w, 3), np.float32)
+        img[:] = rng.uniform(40, 215, 3)
+        for _ in range(rng.randint(6, 14)):
+            bh = rng.randint(max(h // 12, 2), max(h // 3, 3))
+            bw = rng.randint(max(w // 12, 2), max(w // 3, 3))
+            y0 = rng.randint(0, h - bh)
+            x0 = rng.randint(0, w - bw)
+            img[y0:y0 + bh, x0:x0 + bw] += rng.uniform(-120, 120, 3)
+        img += rng.normal(0, 6.0, (h, w, 3))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
     h, w = args.images
     rng = np.random.RandomState(0)
-    imgs = [rng.randint(0, 255, (h, w, 3), np.uint8)
-            for _ in range(args.batch)]
+    imgs = [make_blob_image(rng, h, w) for _ in range(args.batch)]
     import dataclasses
 
     base_cfg = FR.TINY if args.arch == "tiny" else FR.FrcnnConfig()
     cfg = base_cfg
     if args.dtype != cfg.dtype:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    if args.agree:
+        # Random class scores are near-uniform over 1601 classes, so the
+        # published 0.2 confidence gate empties the candidate set and every
+        # output row is min-detection backfill. The gate is a constant
+        # shared by both budgets — dropping it on BOTH sides keeps the
+        # mechanical-sensitivity comparison fair while giving the matcher a
+        # real (score-ordered, NMS-selected) ROI set to compare.
+        base_cfg = dataclasses.replace(base_cfg, box_score_thresh=0.0)
+        cfg = dataclasses.replace(cfg, box_score_thresh=0.0)
     cfg = FR.apply_topk_overrides(cfg, args.pre_topk, args.post_topk)
     det = FR.FrcnnDetector(cfg)
+    if args.agree:
+        # Detector-style head init (detectron2 fills regression heads with
+        # std 1e-3): flax's default lecun init emits O(1) deltas whose
+        # decoded boxes explode and clip to the border (zero area). Scale
+        # the delta kernels down so boxes stay anchor-shaped; both budgets
+        # share these params so the comparison is unaffected.
+        import flax
+
+        params = flax.core.unfreeze(det.params)
+        for stage, path in (("stage1", ("rpn_head", "anchor_deltas")),
+                            ("stage2", ("box_predictor", "bbox_pred"))):
+            node = params[stage]["params"]
+            for m in path[:-1]:
+                node = node[m]
+            leaf = node[path[-1]]
+            leaf["kernel"] = np.asarray(leaf["kernel"]) * 1e-3
+            leaf["bias"] = np.zeros_like(leaf["bias"])
+        det = FR.FrcnnDetector(cfg, params=params)
 
     if args.h2d:
         import jax
@@ -200,11 +243,16 @@ def main():
                 mm[:, j] = 0
             total += full_boxes.shape[0]
         cos = float(np.mean(cosines)) if cosines else float("nan")
-        print(f"agreement vs full budget (random weights, mechanical "
-              f"sensitivity): IoU>=0.5 match {match50}/{total} "
-              f"({match50 / max(total, 1):.1%}), IoU>=0.9 match "
-              f"{match90}/{max(total, 1)} ({match90 / max(total, 1):.1%}), "
-              f"feature cosine over IoU>=0.9 pairs {cos:.4f}")
+        if total == 0:
+            print("agreement vs full budget: DEGENERATE — the full-budget "
+                  "run produced no positive-area detections (random-weight "
+                  "pathology; see --agree notes). No sensitivity number.")
+        else:
+            print(f"agreement vs full budget (random weights, mechanical "
+                  f"sensitivity): IoU>=0.5 match {match50}/{total} "
+                  f"({match50 / total:.1%}), IoU>=0.9 match "
+                  f"{match90}/{total} ({match90 / total:.1%}), "
+                  f"feature cosine over IoU>=0.9 pairs {cos:.4f}")
 
     if args.pipeline:
         if args.reps < 1:
