@@ -16,7 +16,8 @@
 #
 # Default N=10: the round-5 full proof at N=8 measured per-shard walls of
 # 188-655 s on this 1-core host — two shards slightly over a strict
-# 10-minute window; N=10 keeps every shard comfortably under it.
+# 10-minute window. At N=10 the heaviest shard measured 571 s; raise N
+# further (e.g. 12) for more headroom on a loaded host.
 #
 # Exit code: 0 iff every executed shard passed. Per-shard wall time and a
 # final summary are printed; COVERAGE.md records the latest full proof.
