@@ -675,10 +675,14 @@ def parse_len_cdf(spec: str):
     if not pairs or pairs[-1][0] < SEQ:
         pairs.append((SEQ, 1.0))
     last = 0.0
+    last_w = 0
     for w, p in pairs:
         if not (0.0 <= p <= 1.0) or p < last or not 2 <= w <= SEQ:
             raise ValueError(f"bad length CDF {spec!r}")
-        last = p
+        if w == last_w:  # duplicate width would silently drop CDF mass in
+            raise ValueError(  # batch_bucket_mix's dict keying
+                f"duplicate width {w} in length CDF {spec!r}")
+        last, last_w = p, w
     if pairs[-1][1] != 1.0:
         raise ValueError(f"length CDF must end at 1.0: {spec!r}")
     return tuple(pairs)
@@ -698,12 +702,19 @@ def batch_bucket_mix(cdf, batch_size: int):
     return mix
 
 
+MIX_SKIP_P = 1e-4  # buckets below this mass are neither measured nor priced
+
+
 def compose_rate(mix, rates):
     """Time-weighted (harmonic) composition of steady-state posts/s rates
-    over the batch-bucket mix: wall time per post = sum_w P_w / rate_w."""
+    over the batch-bucket mix: wall time per post = sum_w P_w / rate_w.
+    Buckets under MIX_SKIP_P are skipped with the SAME threshold the
+    measurement loop uses — at large batch sizes the narrow buckets carry
+    ~0 mass (0.9^128 ~ 1e-6) and are deliberately unmeasured; requiring a
+    rate for them would silently drop the whole composed row."""
     denom = 0.0
     for w, p in mix.items():
-        if p <= 0.0:
+        if p < MIX_SKIP_P:
             continue
         r = rates.get(w)
         if not r:
@@ -728,7 +739,10 @@ def assemble_report(metric, value, flops, peak, batch, *, parity=None,
     if families is not None:
         out["families_posts_per_sec"] = families
     out["model_flops_per_step"] = flops
-    out["mfu"] = (round(flops * (value / batch) / peak, 4)
+    # MFU belongs to the parity-shape step: flops and rate must come from
+    # the SAME executable, and `value` may be the realistic-mixed rate
+    mfu_rate = parity if parity is not None else value
+    out["mfu"] = (round(flops * (mfu_rate / batch) / peak, 4)
                   if peak and flops else None)
     return out
 
@@ -745,7 +759,7 @@ def measure_realistic_block(args, attn_used, known_rates, deadline):
     mix = batch_bucket_mix(cdf, args.batch)
     rates = dict(known_rates)
     for w, p in mix.items():
-        if w in rates or p < 1e-4:
+        if w in rates or p < MIX_SKIP_P:
             continue
         if time.perf_counter() > deadline:
             print(f"# realistic-workload budget exhausted before width {w}",
@@ -789,7 +803,7 @@ def measure_families_block(args, deadline):
             print(f"# families budget exhausted before {name}",
                   file=sys.stderr)
             break
-        for attn in (args.attn_impl, "jnp"):
+        for attn in dict.fromkeys((args.attn_impl, "jnp")):
             try:
                 sps, _, _ = measure_family(
                     name, steps=10, batch=args.batch, attn_impl=attn,
@@ -801,7 +815,7 @@ def measure_families_block(args, deadline):
                 print(f"# families {name} (attn={attn}) failed: {e}",
                       file=sys.stderr)
     if time.perf_counter() <= deadline:
-        for attn in (args.attn_impl, "jnp"):
+        for attn in dict.fromkeys((args.attn_impl, "jnp")):
             try:
                 sps, _, _ = measure_eval(
                     steps=20, batch=args.batch, attn_impl=attn,
@@ -1074,10 +1088,8 @@ def main():
         vs_baseline=round(value / baseline["posts_per_sec"], 2),
         tokens_per_sec=round(posts_per_sec * 2 * SEQ, 1),
         k_sweep_posts_per_sec=k_sweep)
-    # MFU belongs to the parity-shape step (flops and rate from the same
-    # executable); recompute it from the parity rate, not the mixed rate
-    out["mfu"] = (round(parity_flops * (posts_per_sec / args.batch) / peak, 4)
-                  if peak and parity_flops else None)
+    # assemble_report computes MFU from the parity-shape rate (same
+    # executable as the flops count), never the realistic-mixed rate
     print(json.dumps(out))
 
 

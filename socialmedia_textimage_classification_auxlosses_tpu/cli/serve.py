@@ -45,6 +45,8 @@ import io
 import json
 import os
 import queue
+import socket
+import sys
 import threading
 import time
 
@@ -925,9 +927,21 @@ def make_server(args, batcher: MicroBatcher, meta, extra_services=None):
         # on a loaded 1-core host) — size it to the batching design instead
         request_queue_size = 128
         # --workers: every worker binds the same port with SO_REUSEPORT and
-        # the kernel load-balances accepted connections (socketserver wires
-        # the sockopt from this attr, py>=3.11)
+        # the kernel load-balances accepted connections. socketserver wires
+        # the sockopt from allow_reuse_port only on py>=3.11 — on 3.10 the
+        # attribute is silently ignored and the second worker would die
+        # with EADDRINUSE, so set the sockopt explicitly in server_bind.
         allow_reuse_port = bool(getattr(args, "_reuse_port", False))
+
+        def server_bind(self):
+            if self.allow_reuse_port and sys.version_info < (3, 11):
+                if not hasattr(socket, "SO_REUSEPORT"):
+                    raise SystemExit(
+                        "--workers>1 needs SO_REUSEPORT, which this "
+                        "platform's socket module does not expose")
+                self.socket.setsockopt(socket.SOL_SOCKET,
+                                       socket.SO_REUSEPORT, 1)
+            super().server_bind()
 
     return Server((args.host, args.port), Handler)
 

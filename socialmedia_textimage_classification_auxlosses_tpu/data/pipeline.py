@@ -206,8 +206,18 @@ class SplitPipeline:
             lmax = int(lens[order[start:start + bs]].max())
             return self._bucket_for(lmax, width) or width
 
-        starts = sorted(range(0, self.n, bs), key=bucket_of)  # stable
-        return np.concatenate([order[s:s + bs] for s in starts])
+        # Only FULL batches are regrouped; a partial tail batch must stay
+        # LAST. The grouped order is re-cut at batch_size boundaries
+        # downstream, so a shorter-than-bs group anywhere but the end would
+        # shift every later cut and recompose batches across group
+        # boundaries — violating the documented "composition unchanged"
+        # invariant (the tail is last in the plain epoch too, so keeping it
+        # there preserves every batch's membership exactly).
+        starts = list(range(0, self.n, bs))
+        full = sorted((s for s in starts if s + bs <= self.n),
+                      key=bucket_of)  # stable
+        tail = [s for s in starts if s + bs > self.n]
+        return np.concatenate([order[s:s + bs] for s in full + tail])
 
     def batches(self, shuffle=False, rng: Optional[np.random.RandomState] = None,
                 local_rows=None, bucket=True,
@@ -377,7 +387,11 @@ class SplitPipeline:
         # bucket-grouped dispatch: regroup the (shuffled) epoch's batches by
         # bucket width so each chunk is pure-width and slices to the
         # per-batch bucket; a width change flushes the pending chunk
-        # (step_valid-padded) so no chunk mixes widths
+        # (step_valid-padded) so no chunk mixes widths.
+        # KEEP IN SYNC: cli/_build.py VisionCachedPipe.device_iter_chunks
+        # repeats this grouped-flush logic over its vision-cached batches
+        # (the _grouped_order itself is shared — only the flush loop is
+        # mirrored there).
         grouped = bool(self.cfg.bucket_group and self.cfg.seq_buckets
                        and self.mask is not None and shuffle)
         order = self._grouped_order(shuffle, rng) if grouped else None

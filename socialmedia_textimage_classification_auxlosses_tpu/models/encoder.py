@@ -245,6 +245,15 @@ def sliced_dropout(x, rate: float, dropout_rng):
 
     ``dropout_rng``: (site key, row0, total_rows) — row0 may be traced,
     total_rows is static.
+
+    Cost note: each microbatch tick regenerates the FULL (total_rows, ...)
+    bernoulli and keeps its slice, so the RNG work is multiplied by
+    num_microbatches x data-shards relative to the sequential stack —
+    that is the price of bitwise exactness (jax.random cannot emit a
+    row-slice of a draw without computing it). Measured in the PP e2e
+    tests this is noise next to the matmuls; if it ever profiles hot,
+    precompute the per-layer masks once per step outside the shard_map
+    and stream slices in, at (layers, B, T, H) bool memory cost.
     """
     key, row0, nrows = dropout_rng
     keep_prob = 1.0 - rate
@@ -291,7 +300,16 @@ def scan_exact_dropout_site_keys(lazy, suffix_base, layers,
     ``layers`` must equal the scan LENGTH (for LXMERT's padded stacks, the
     padded length — pad slots also consume splits).
     """
-    from flax.core.scope import LazyRng, _fold_in_static
+    try:
+        from flax.core.scope import LazyRng, _fold_in_static
+    except ImportError as e:  # private flax internals (verified on 0.12)
+        raise RuntimeError(
+            "exact --mesh_pipe dropout keys need flax.core.scope.LazyRng/"
+            "_fold_in_static, which this flax version no longer exposes. "
+            "Re-derive the scan key stream against the new internals "
+            "(models/encoder.py scan_exact_dropout_site_keys; "
+            "tests/test_pp_dropout_exact.py certifies the result), or run "
+            "--mesh_pipe with dropout=0.") from e
 
     if not isinstance(lazy, LazyRng):
         lazy = LazyRng.create(lazy)
@@ -316,6 +334,11 @@ class TransformerStack(nn.Module):
                 stacked = self.variables["params"]["layers"]["layer"]
                 rng = None
                 if not deterministic and self.cfg.dropout > 0:
+                    if "dropout" not in self.scope.rngs:
+                        raise ValueError(
+                            "dropout>0 with deterministic=False needs a "
+                            "'dropout' rng: apply(..., rngs={'dropout': "
+                            "key})")
                     # exact nn.scan dropout stream for the PP runner
                     rng = scan_exact_dropout_site_keys(
                         self.scope.rngs["dropout"], ("layers",),

@@ -40,6 +40,30 @@ def test_batch_bucket_mix_sums_to_one(bench):
     assert abs(mix1[32] - 0.90) < 1e-9
 
 
+def test_len_cdf_rejects_duplicate_widths(bench):
+    """Round-5 review: a duplicate width would silently drop CDF mass in
+    batch_bucket_mix's dict keying, then trip its telescoping-sum assert
+    AFTER the expensive headline measurement already ran."""
+    with pytest.raises(ValueError):
+        bench.parse_len_cdf("32:0.5,32:0.9")
+
+
+def test_compose_rate_skips_negligible_unmeasured_buckets(bench):
+    """Round-5 review: the measurement loop skips buckets under MIX_SKIP_P,
+    so compose_rate must skip them with the SAME threshold — at batch 128
+    the 32-bucket has mass 0.9^128 ~ 1e-6 and is deliberately unmeasured;
+    requiring a rate for it dropped the whole realistic row to None."""
+    mix = bench.batch_bucket_mix(bench.REALISTIC_LEN_CDF, 128)
+    assert 0 < mix[32] < bench.MIX_SKIP_P
+    rates = {w: 500.0 for w, p in mix.items() if p >= bench.MIX_SKIP_P}
+    v = bench.compose_rate(mix, rates)
+    assert v is not None and abs(v - 500.0) < 1.0
+    # but a SIGNIFICANT bucket without a rate still voids the row
+    mix8 = bench.batch_bucket_mix(bench.REALISTIC_LEN_CDF, 8)
+    rates8 = {w: 500.0 for w in mix8 if w != 32}
+    assert bench.compose_rate(mix8, rates8) is None
+
+
 def test_compose_rate_harmonic(bench):
     mix = {32: 0.5, 128: 0.5}
     rates = {32: 800.0, 128: 400.0}

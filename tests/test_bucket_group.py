@@ -84,6 +84,38 @@ def test_grouped_epoch_composition_unchanged():
     assert len(seen) == 40
 
 
+def test_grouped_tail_batch_composition_unchanged():
+    """n % batch_size != 0 regression (round-5 review): the partial tail
+    batch must stay LAST in the grouped order. The order is re-cut at
+    batch_size boundaries downstream, so a mid-sequence short group would
+    shift every later cut and recompose batches across group boundaries —
+    before the fix, 9/30 shuffle seeds produced batches that existed in
+    neither the plain nor the intended regrouped epoch."""
+    tok = build_tokenizer("bert", None, max_length=32, vocab_size=512)
+
+    def pipe(bg):
+        cfg = PipelineConfig(batch_size=4, max_length=32, with_images=False,
+                             seq_buckets=(8, 16), bucket_group=bg)
+        return SplitPipeline(_split(n=10), cfg, tokenizer=tok)
+
+    p_plain, p_grp = pipe(False), pipe(True)
+
+    def batch_sets(p, seed):
+        out = []
+        for batches, k_real in p.device_iter_chunks(
+                3, shuffle=True, rng=np.random.RandomState(seed)):
+            ids = np.asarray(batches["data_id"])[:k_real]
+            valid = np.asarray(batches["valid"])[:k_real]
+            for r, v in zip(ids, valid):
+                out.append(frozenset(r[v > 0].tolist()))
+        return out
+
+    for seed in range(30):
+        pb, gb = batch_sets(p_plain, seed), batch_sets(p_grp, seed)
+        assert sorted(map(sorted, pb)) == sorted(map(sorted, gb)), seed
+        assert len(gb[-1]) == 10 % 4  # the tail batch stays last
+
+
 def test_grouped_step_counts_match():
     plain = _collect(_pipe(False), K=4)
     grouped = _collect(_pipe(True), K=4)
